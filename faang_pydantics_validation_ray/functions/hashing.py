@@ -1,0 +1,66 @@
+"""Deterministic vectorized hashing helpers.
+
+Every shuffle key, sketch input and salt in the engine goes through these so
+results are reproducible across processes and machines (required for
+checkpoint/resume and for retry-idempotence — SURVEY.md §4.2, §7 "Determinism").
+
+``pandas.util.hash_array`` uses SipHash with a fixed default key, so it is
+deterministic across processes; splitmix64 is the standard integer finalizer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    z = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_column(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
+    """Hash an Arrow / numpy column to uint64, deterministic across processes.
+
+    Nulls hash to 0. Strings go through pandas' fixed-key SipHash; integers
+    through splitmix64; floats are hashed via their bit pattern.
+    """
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        null_mask = np.asarray(pa.compute.is_null(arr))
+        typ = arr.type
+        if pa.types.is_integer(typ):
+            np_arr = np.asarray(arr.cast(pa.int64()).fill_null(0)).astype(np.int64)
+            out = splitmix64(np_arr.view(_U64))
+        elif pa.types.is_floating(typ):
+            np_arr = np.asarray(arr.cast(pa.float64()).fill_null(0.0))
+            out = splitmix64(np_arr.view(_U64))
+        else:
+            # strings / binary: object path via pandas SipHash (fixed key)
+            obj = arr.to_pandas().to_numpy(dtype=object)
+            obj[pd.isna(obj)] = ""
+            out = pd.util.hash_array(obj).astype(_U64)
+        out = out.copy()
+        out[null_mask] = _U64(0)
+        return out
+    np_arr = np.asarray(arr)
+    if np_arr.dtype.kind in "iu":
+        return splitmix64(np_arr.astype(np.int64).view(_U64))
+    if np_arr.dtype.kind == "f":
+        return splitmix64(np_arr.astype(np.float64).view(_U64))
+    obj = np_arr.astype(object)
+    obj[pd.isna(obj)] = ""
+    return pd.util.hash_array(obj).astype(_U64)
+
+
+def stable_str_hash(s: str) -> int:
+    """Deterministic single-string → uint64 (for seeding per-image RNGs)."""
+    return int(pd.util.hash_array(np.array([s], dtype=object))[0])

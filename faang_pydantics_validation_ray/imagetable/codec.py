@@ -1,0 +1,145 @@
+"""Deterministic toy image codec — the sandbox stand-in for PIL/libjpeg.
+
+The container has no image libraries, so per the task contract the *decode*
+step is a deterministic fake — but everything around it (magic-number
+sniffing, claimed-vs-actual dimension checks, lossy-compression PSNR math,
+perceptual hashing) is real computation with the same shapes and failure
+modes as a real decoder:
+
+- encodings carry the REAL magic numbers of png / jpeg / webp, so the
+  ``fmt`` ↔ magic-bytes cross-field rule (SURVEY.md P9, graft of
+  /root/reference/standard_ruleset.py:49-70 material↔term consistency) is a
+  genuine byte-prefix check;
+- "jpeg" is genuinely lossy (uniform quantization with step ``q``), so the
+  PSNR≥40dB rule (north_star pixel check) exercises real signal math:
+  PSNR of step-q quantization ≈ 10·log10(255²·12/q²) → q=4 ≈ 46.9dB (pass),
+  q=24 ≈ 31dB (fail);
+- decode failures (truncated payload, corrupt header, dim/payload mismatch)
+  raise, exactly like a real decoder.
+
+Swap :func:`decode` / :func:`encode` for PIL calls and the rest of the engine
+is unchanged — the stage signature (bytes in, pixels + dims out) is the real
+plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..functions.hashing import stable_str_hash
+
+MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_JPEG = b"\xff\xd8\xff\xe0"
+MAGIC_RIFF = b"RIFF"
+
+FORMATS = ("jpeg", "png", "webp")
+LOSSY_FORMATS = ("jpeg",)
+
+# default jpeg quantization step: PSNR ≈ 46.9 dB (passes the ≥40dB rule)
+DEFAULT_JPEG_STEP = 4
+# seeded-violation step: PSNR ≈ 31 dB (fails the rule) — FIXTURES.md `pixel.psnr`
+BAD_JPEG_STEP = 24
+
+
+def sniff_format(buf: bytes | None) -> str | None:
+    """Magic-number sniff → 'png' | 'jpeg' | 'webp' | None."""
+    if not buf:
+        return None
+    if buf[:8] == MAGIC_PNG:
+        return "png"
+    if buf[:4] == MAGIC_JPEG:
+        return "jpeg"
+    if buf[:4] == MAGIC_RIFF and len(buf) >= 12 and buf[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def gen_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic (image_id, seed) → H×W×3 uint8 pixels: gradient + noise."""
+    rng = np.random.default_rng((stable_str_hash(image_id) ^ seed) & 0xFFFFFFFFFFFFFFFF)
+    gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+    gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    base = (gy + gx) / 2.0
+    noise = rng.integers(-40, 40, size=(h, w, 3), dtype=np.int16)
+    px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+    return px
+
+
+def encode(pixels: np.ndarray, fmt: str, jpeg_step: int = DEFAULT_JPEG_STEP) -> bytes:
+    """Encode H×W×3 uint8 pixels into the toy container for ``fmt``."""
+    h, w, c = pixels.shape
+    assert c == 3
+    if fmt == "png":
+        payload = zlib.compress(pixels.tobytes(), 1)
+        return MAGIC_PNG + struct.pack("<II", w, h) + payload
+    if fmt == "jpeg":
+        q = np.uint16(jpeg_step)
+        quant = ((pixels.astype(np.uint16) // q) * q + q // 2).clip(0, 255).astype(np.uint8)
+        payload = zlib.compress(quant.tobytes(), 1)
+        return MAGIC_JPEG + struct.pack("<IIH", w, h, jpeg_step) + payload
+    if fmt == "webp":
+        payload = zlib.compress(pixels.tobytes(), 1)
+        body = b"WEBP" + struct.pack("<II", w, h) + payload
+        return MAGIC_RIFF + struct.pack("<I", len(body)) + body
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+class DecodeError(ValueError):
+    pass
+
+
+def decode(buf: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Decode toy container → (fmt, w, h, pixels). Raises DecodeError on corrupt input."""
+    fmt = sniff_format(buf)
+    if fmt is None:
+        raise DecodeError("unrecognized magic bytes")
+    try:
+        if fmt == "png":
+            w, h = struct.unpack_from("<II", buf, 8)
+            raw = zlib.decompress(buf[16:])
+        elif fmt == "jpeg":
+            w, h, _step = struct.unpack_from("<IIH", buf, 4)
+            raw = zlib.decompress(buf[14:])
+        else:  # webp
+            w, h = struct.unpack_from("<II", buf, 12)
+            raw = zlib.decompress(buf[20:])
+    except (struct.error, zlib.error) as e:
+        raise DecodeError(f"corrupt payload: {e}") from e
+    if len(raw) != w * h * 3:
+        raise DecodeError(f"payload size {len(raw)} != {w}x{h}x3")
+    return fmt, int(w), int(h), np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average perceptual hash: grayscale → 8×8 block means → >median bits.
+
+    Deterministic; near-identical pixels → identical hash (used by the
+    near-duplicate groupby rule, SURVEY.md A5).
+    """
+    gray = pixels.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        rows = gray[ys[i] : max(ys[i + 1], ys[i] + 1)]
+        for j in range(8):
+            blocks[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > np.median(blocks)).flatten()
+    val = np.uint64(0)
+    for bit in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(bit))
+    return int(val.view(np.int64))  # store as int64 column

@@ -1,0 +1,332 @@
+"""Deterministic synthetic image+caption table generator (FIXTURES.md §A).
+
+Row ``i`` is fully determined by ``(seed, i)``; violations are injected at
+fixed ``i % 1000`` buckets so the expected violation set is exactly
+computable (:func:`expected_violations`) — mirroring the reference's
+seeded-corpus test style (/root/reference/json_files/sample1.json carries
+seeded enum + self-parent violations; see SURVEY.md §5.1).
+
+Schema (BASELINE.json input_hint):
+    image_id: string, bytes: binary, w: int32, h: int32, fmt: string,
+    caption: string, phash: int64, partition_id: int32
+
+Companion table: captions(caption_id, image_id, caption) for the
+referential semi-join rule (SURVEY.md J1).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import splitmix64
+from . import codec
+
+MAX_PIXELS = 1 << 24  # range rule: claimed w*h must be ≤ this
+
+# violation buckets (b = i % 1000) — FIXTURES.md §A.2
+B_ID_NULL = 1          # required.image_id           error
+B_BYTES_NULL = 2       # required.bytes              error
+B_FMT_BAD = 3          # enum.fmt                    error
+B_FMT_CASE = 4         # normalize.fmt               warning (valid after normalize)
+B_ID_PATTERN = 5       # pattern.image_id            error
+B_W_ZERO = 6           # range.dims                  error
+B_H_NEG = 7            # range.dims                  error
+B_TOO_BIG = 8          # range.dims (w*h>MAX_PIXELS) error
+B_MAGIC = 9            # xfield.fmt_magic            error
+B_DIMS = 10            # xfield.dims_match           error
+B_DUP_PREV = 11        # unique.image_id             error (dup of row i-1)
+B_DUP_HOT = 13         # unique.image_id             error (hot shared id)
+B_NEARDUP_A = 14       # neardup.phash               warning (shared cluster)
+B_NEARDUP_PAIR = 15    # neardup.phash               warning (pairs)
+B_CAP_NULL = 16        # recommended.caption         warning
+B_PHASH_NULL = 17      # recommended.phash warning (+ conditional.phash_for_lossy if jpeg)
+B_PSNR = 18            # pixel.psnr                  error (jpeg step 24 → ~31dB)
+B_SENT_WARN = 19       # sentinel.fmt                warning ("restricted access")
+B_SENT_ERR = 20        # sentinel.fmt                error ("not collected")
+B_CORRUPT = 21         # pixel.decode                error (truncated payload)
+
+BUCKETS = {
+    B_ID_NULL, B_BYTES_NULL, B_FMT_BAD, B_FMT_CASE, B_ID_PATTERN, B_W_ZERO,
+    B_H_NEG, B_TOO_BIG, B_MAGIC, B_DIMS, B_DUP_PREV, B_DUP_HOT, B_NEARDUP_A,
+    B_NEARDUP_PAIR, B_CAP_NULL, B_PHASH_NULL, B_PSNR, B_SENT_WARN, B_SENT_ERR,
+    B_CORRUPT,
+}
+
+HOT_DUP_ID = "IMG_999999999999"
+NEARDUP_CLUSTER_PHASH = 0x00DEAD0001
+NEARDUP_PAIR_BASE = 0x00BEEF0000
+HOT_PHASH = 0x0000FACE
+ORPHAN_EVERY = 500      # captions: j % 500 == 77 → orphan caption row
+ORPHAN_OFFSET = 77
+
+_ADJ = ["red", "small", "old", "bright", "wet", "tall", "round", "quiet"]
+_NOUN = ["cat", "house", "tree", "river", "car", "bird", "mountain", "boat"]
+
+
+def _sm(x: int) -> int:
+    return int(splitmix64(np.array([x], dtype=np.uint64))[0])
+
+
+@dataclass
+class RowPlan:
+    """Everything needed to materialize row i AND its expected violations."""
+    i: int
+    image_id: str | None
+    wa: int               # actual encoded width
+    ha: int               # actual encoded height
+    w: int | None         # claimed width
+    h: int | None         # claimed height
+    fmt: str | None       # claimed fmt (raw, pre-normalize)
+    enc_fmt: str          # actual encoding container
+    jpeg_step: int
+    caption: str | None
+    phash_override: int | None   # None → real phash of pixels
+    phash_null: bool
+    bytes_null: bool
+    corrupt: bool
+    partition_id: int
+    bucket: int
+
+    def norm_fmt(self) -> str | None:
+        return self.fmt.strip().lower() if self.fmt is not None else None
+
+
+def row_plan(i: int, n: int, seed: int, n_files: int, violations: bool = True,
+             drift: bool = True) -> RowPlan:
+    b = i % 1000 if violations else -1
+    part = i * n_files // n if n else 0
+    s1, s2, s3, s4, s5 = (_sm(seed * 1_000_003 + i * 8 + k) for k in range(5))
+    in_drift = drift and n_files > 1 and part == n_files - 1
+    lo, span = (24, 57) if in_drift else (8, 41)       # drift: shifted dims distribution
+    wa, ha = lo + s1 % span, lo + s2 % span
+    fmt = codec.FORMATS[s3 % 3]
+    caption = f"a photo of a {_ADJ[s4 % 8]} {_NOUN[s5 % 8]} #{i}"
+    p = RowPlan(i=i, image_id=f"IMG_{i:012d}", wa=wa, ha=ha, w=wa, h=ha, fmt=fmt,
+                enc_fmt=fmt, jpeg_step=codec.DEFAULT_JPEG_STEP, caption=caption,
+                phash_override=None, phash_null=False, bytes_null=False,
+                corrupt=False, partition_id=part, bucket=b)
+    if not violations:
+        return p
+    if b == B_ID_NULL:
+        p.image_id = None
+    elif b == B_BYTES_NULL:
+        p.bytes_null = True
+    elif b == B_FMT_BAD:
+        p.fmt, p.enc_fmt = "bmp", "png"
+    elif b == B_FMT_CASE:
+        p.fmt, p.enc_fmt = " JPEG ", "jpeg"
+    elif b == B_ID_PATTERN:
+        p.image_id = f"img-badid-{i:09d}"
+    elif b == B_W_ZERO:
+        p.w = 0
+    elif b == B_H_NEG:
+        p.h = -3
+    elif b == B_TOO_BIG:
+        p.w = p.h = 6000
+        p.wa = p.ha = 16
+    elif b == B_MAGIC:
+        p.fmt, p.enc_fmt = "jpeg", "png"
+    elif b == B_DIMS:
+        p.w, p.h = p.wa + 3, p.ha + 3
+    elif b == B_DUP_PREV and i > 0:
+        p.image_id = f"IMG_{i - 1:012d}"
+    elif b == B_DUP_HOT:
+        p.image_id = HOT_DUP_ID
+    elif b == B_NEARDUP_A:
+        p.phash_override = NEARDUP_CLUSTER_PHASH
+    elif b == B_NEARDUP_PAIR:
+        p.phash_override = NEARDUP_PAIR_BASE + i // 2000
+    elif b == B_CAP_NULL:
+        p.caption = None
+    elif b == B_PHASH_NULL:
+        p.phash_null = True
+    elif b == B_PSNR:
+        p.fmt = p.enc_fmt = "jpeg"
+        p.jpeg_step = codec.BAD_JPEG_STEP
+    elif b == B_SENT_WARN:
+        p.fmt, p.enc_fmt = "restricted access", "png"
+    elif b == B_SENT_ERR:
+        p.fmt, p.enc_fmt = "not collected", "png"
+    elif b == B_CORRUPT:
+        p.corrupt = True
+    if i % 20 == 19 and b not in BUCKETS:
+        p.phash_override = HOT_PHASH    # 4.8% hot near-dup bucket (skew test)
+    return p
+
+
+def _materialize(p: RowPlan, seed: int) -> dict:
+    pid = p.image_id if p.image_id is not None else f"IMG_{p.i:012d}"
+    buf = None
+    ph = None
+    if not p.bytes_null:
+        px = codec.gen_pixels(pid, p.wa, p.ha, seed=seed)
+        buf = codec.encode(px, p.enc_fmt, jpeg_step=p.jpeg_step)
+        if p.corrupt:
+            buf = buf[:20]
+        if not p.phash_null:
+            ph = p.phash_override if p.phash_override is not None else codec.phash64(px)
+    elif not p.phash_null:
+        ph = p.phash_override if p.phash_override is not None else _sm(p.i * 31 + 7) % (1 << 62)
+    return {
+        "image_id": p.image_id, "bytes": buf, "w": p.w, "h": p.h, "fmt": p.fmt,
+        "caption": p.caption, "phash": ph, "partition_id": p.partition_id,
+    }
+
+
+IMAGE_SCHEMA = pa.schema([
+    ("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+    ("h", pa.int32()), ("fmt", pa.string()), ("caption", pa.string()),
+    ("phash", pa.int64()), ("partition_id", pa.int32()),
+])
+
+CAPTIONS_SCHEMA = pa.schema([
+    ("caption_id", pa.string()), ("image_id", pa.string()), ("caption", pa.string()),
+])
+
+
+def generate_chunk(lo: int, hi: int, n: int, seed: int, n_files: int,
+                   violations: bool = True, drift: bool = True) -> pa.Table:
+    rows = [_materialize(row_plan(i, n, seed, n_files, violations, drift), seed)
+            for i in range(lo, hi)]
+    cols = {k: [r[k] for r in rows] for k in IMAGE_SCHEMA.names}
+    return pa.table(cols, schema=IMAGE_SCHEMA)
+
+
+def captions_table(n: int, seed: int, n_files: int, violations: bool = True,
+                   drift: bool = True) -> pa.Table:
+    """One caption row per image with non-null id+caption, plus seeded orphans."""
+    cid, iid, cap = [], [], []
+    for i in range(n):
+        p = row_plan(i, n, seed, n_files, violations, drift)
+        if p.image_id is not None and p.caption is not None:
+            cid.append(f"CAP_{i:012d}")
+            iid.append(p.image_id)
+            cap.append(p.caption)
+    if violations:
+        for j in range(n):
+            if j % ORPHAN_EVERY == ORPHAN_OFFSET:
+                cid.append(f"CAP_ORPH_{j:09d}")
+                iid.append(f"IMG_MISSING_{j:06d}")
+                cap.append("an orphan caption")
+    return pa.table({"caption_id": cid, "image_id": iid, "caption": cap},
+                    schema=CAPTIONS_SCHEMA)
+
+
+def write_image_table(out_dir: str, n: int, seed: int = 42, n_files: int = 4,
+                      violations: bool = True, drift: bool = True,
+                      use_ray: bool = False) -> str:
+    """Write images/part-*.parquet + captions.parquet under out_dir. Idempotent
+    via a _SUCCESS marker (the small-scale analogue of the resume manifest)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    bounds = [(f * n // n_files, (f + 1) * n // n_files) for f in range(n_files)]
+
+    def _write_one(f: int, lo: int, hi: int) -> None:
+        t = generate_chunk(lo, hi, n, seed, n_files, violations, drift)
+        pq.write_table(t, os.path.join(img_dir, f"part-{f:05d}.parquet"))
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _task(f: int, lo: int, hi: int) -> None:
+            _write_one(f, lo, hi)
+
+        ray.get([_task.remote(f, lo, hi) for f, (lo, hi) in enumerate(bounds)])
+    else:
+        for f, (lo, hi) in enumerate(bounds):
+            _write_one(f, lo, hi)
+    pq.write_table(captions_table(n, seed, n_files, violations, drift),
+                   os.path.join(out_dir, "captions.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"n={n} seed={seed} n_files={n_files} violations={violations}\n")
+    return out_dir
+
+
+def ensure_image_table(n: int, seed: int = 42, n_files: int = 4, violations: bool = True,
+                       drift: bool = True, root: str = "/tmp/fpv_imgtable",
+                       use_ray: bool = False) -> str:
+    tag = f"n{n}_s{seed}_f{n_files}_v{int(violations)}_d{int(drift)}"
+    return write_image_table(os.path.join(root, tag), n, seed, n_files,
+                             violations, drift, use_ray=use_ray)
+
+
+# ---------------------------------------------------------------- golden set
+
+def expected_violations(n: int, seed: int = 42, n_files: int = 4,
+                        drift: bool = True) -> list[tuple[str, str | None, str]]:
+    """Exact expected (rule_id, image_id, severity) multiset for the dirty table.
+
+    Shuffle rules (unique/neardup) emit ONE violation per offending KEY (not per
+    row) — the scalable contract (SURVEY.md §7 'violation-row explosion').
+    Drift verdicts are partition-level and asserted separately.
+    """
+    out: list[tuple[str, str | None, str]] = []
+    id_counts: dict[str, int] = {}
+    phash_counts: dict[int, int] = {}
+    for i in range(n):
+        p = row_plan(i, n, seed, n_files, True, drift)
+        b = p.bucket
+        if p.image_id is not None:
+            id_counts[p.image_id] = id_counts.get(p.image_id, 0) + 1
+        row = _materialize(p, seed) if b in (B_NEARDUP_A, B_NEARDUP_PAIR) or \
+            (i % 20 == 19 and b not in BUCKETS) else None
+        ph = (row["phash"] if row is not None
+              else (None if p.phash_null or p.bytes_null and p.phash_override is None
+                    else p.phash_override))
+        # track every non-null phash for collision-exact neardup expectation
+        if not p.phash_null:
+            if p.phash_override is not None:
+                phash_counts[p.phash_override] = phash_counts.get(p.phash_override, 0) + 1
+            # real phashes are effectively unique; tests at small n verify no
+            # accidental collisions via the engine output itself
+        iid = p.image_id
+        if b == B_ID_NULL:
+            out.append(("required.image_id", None, "error"))
+        if b == B_BYTES_NULL:
+            out.append(("required.bytes", iid, "error"))
+        if b == B_FMT_BAD:
+            out.append(("enum.fmt", iid, "error"))
+        if b == B_FMT_CASE:
+            out.append(("normalize.fmt", iid, "warning"))
+        if b == B_ID_PATTERN:
+            out.append(("pattern.image_id", iid, "error"))
+        if b in (B_W_ZERO, B_H_NEG, B_TOO_BIG):
+            out.append(("range.dims", iid, "error"))
+        if b == B_MAGIC:
+            out.append(("xfield.fmt_magic", iid, "error"))
+        if b == B_DIMS:
+            out.append(("xfield.dims_match", iid, "error"))
+        if b == B_CAP_NULL:
+            out.append(("recommended.caption", iid, "warning"))
+        if b == B_PHASH_NULL:
+            out.append(("recommended.phash", iid, "warning"))
+            if p.norm_fmt() in codec.LOSSY_FORMATS:
+                out.append(("conditional.phash_for_lossy", iid, "error"))
+        if b == B_PSNR:
+            out.append(("pixel.psnr", iid, "error"))
+        if b == B_SENT_WARN:
+            out.append(("sentinel.fmt", iid, "warning"))
+        if b == B_SENT_ERR:
+            out.append(("sentinel.fmt", iid, "error"))
+        if b == B_CORRUPT:
+            out.append(("pixel.decode", iid, "error"))
+    for iid, c in id_counts.items():
+        if c > 1:
+            out.append(("unique.image_id", iid, "error"))
+    for ph, c in phash_counts.items():
+        if c > 1:
+            out.append(("neardup.phash", f"phash={ph}", "warning"))
+    for j in range(n):
+        if j % ORPHAN_EVERY == ORPHAN_OFFSET:
+            out.append(("ref.caption_image", f"IMG_MISSING_{j:06d}", "error"))
+    return out
