@@ -1,0 +1,72 @@
+"""The flagship rule set over the image+caption table (BASELINE.json input_hint).
+
+Each rule grafts a reference rule family onto the image domain (SURVEY.md §2.2
+"Graft rule" column); decode-dependent rules (xfield.fmt_magic,
+xfield.dims_match, pixel.decode, pixel.psnr) are computed by the decode actor
+stage and merged via ``RuleSet.evaluate(extra_findings=...)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..imagetable import codec
+from . import kernels
+from ._arrow import np_bool
+from .spec import RuleContext, RuleSet
+
+MAX_PIXELS = 1 << 24
+ID_PATTERN = r"^IMG_[0-9]{12}$"
+
+
+def _range_dims_kernel(t: pa.Table, ctx: RuleContext):
+    """P5 graft: claimed w>0 ∧ h>0 ∧ w*h ≤ MAX_PIXELS."""
+    w, h = t.column("w"), t.column("h")
+    bad = np_bool(pc.less_equal(w, 0)) | np_bool(pc.less_equal(h, 0))
+    area = pc.multiply(w.cast(pa.int64()), h.cast(pa.int64()))
+    bad |= np_bool(pc.greater(area, MAX_PIXELS))
+    bad &= ~(ctx.null("w") | ctx.null("h"))
+    return [(bad, "error", f"claimed dims invalid (w>0, h>0, w*h<={MAX_PIXELS})")]
+
+
+def _phash_for_lossy_kernel(t: pa.Table, ctx: RuleContext):
+    """P10 graft: lossy fmt ⇒ phash required (conditional requirement)."""
+    fmt = t.column("fmt")
+    lossy = np_bool(pc.is_in(fmt, value_set=pa.array(list(codec.LOSSY_FORMATS))))
+    bad = lossy & ctx.present("fmt") & ctx.null("phash")
+    return [(bad, "error", "phash is required for lossy formats")]
+
+
+def range_valid_mask(t: pa.Table) -> np.ndarray:
+    """Rows whose claimed dims pass the range rule — gates xfield.dims_match
+    so a row failing range.dims is not double-flagged (FIXTURES.md §A.2)."""
+    w, h = t.column("w"), t.column("h")
+    ok = np_bool(pc.greater(w, 0)) & np_bool(pc.greater(h, 0))
+    area = pc.multiply(pc.cast(w, pa.int64()), pc.cast(h, pa.int64()))
+    ok &= np_bool(pc.less_equal(area, MAX_PIXELS))
+    return ok
+
+
+def build_image_ruleset() -> RuleSet:
+    rs = RuleSet(key_column="image_id",
+                 sentinel_levels={"fmt": "mandatory"})
+    rs.add("required.image_id", "image_id", kernels.required("image_id"))
+    rs.add("required.bytes", "bytes", kernels.required("bytes"))
+    rs.add("pattern.image_id", "image_id",
+           kernels.regex("image_id", ID_PATTERN,
+                         message="image_id must match IMG_ followed by 12 digits"))
+    rs.add("enum.fmt", "fmt", kernels.enum_in("fmt", codec.FORMATS))
+    rs.add("range.dims", "w", _range_dims_kernel)
+    rs.add("recommended.caption", "caption", kernels.recommended("caption"))
+    rs.add("recommended.phash", "phash", kernels.recommended("phash"))
+    rs.add("conditional.phash_for_lossy", "phash", _phash_for_lossy_kernel)
+    return rs
+
+
+def normalize_image_batch(t: pa.Table) -> tuple[pa.Table, dict[str, np.ndarray]]:
+    """P7 normalize pass: fmt trim+lower (+''→null); captions untouched to
+    preserve the caption-equality invariant. Returns changed-masks for the
+    ``normalize.fmt`` warning rule."""
+    return kernels.normalize_strings(t, ["fmt"])
