@@ -176,7 +176,10 @@ class ColumnProfile:
         if len(valid):
             self.hll.add_hashes(hash_column(valid))
             if pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type):
-                v = np.asarray(valid.cast(pa.float64()))
+                # safe=False: int64 values beyond 2^53 (e.g. phash) lose ulps,
+                # which is fine for sketch/quantile purposes
+                v = pc.cast(valid, pa.float64(), safe=False).to_numpy(
+                    zero_copy_only=False)
                 self.vmin = min(self.vmin, float(v.min()))
                 self.vmax = max(self.vmax, float(v.max()))
                 self.digest.add(v)

@@ -58,11 +58,22 @@ def sniff_format(buf: bytes | None) -> str | None:
 
 
 def gen_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
-    """Deterministic (image_id, seed) → H×W×3 uint8 pixels: gradient + noise."""
+    """Deterministic (image_id, seed) → H×W×3 uint8 pixels.
+
+    Gradient + a strong per-image coarse 8×8 random pattern + pixel noise: the
+    coarse pattern dominates the 8×8 block means so perceptual hashes of
+    distinct images are effectively unique (a pure gradient would make every
+    image share one phash), while the noise keeps payloads realistically
+    incompressible for the codec.
+    """
     rng = np.random.default_rng((stable_str_hash(image_id) ^ seed) & 0xFFFFFFFFFFFFFFFF)
     gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
     gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
-    base = (gy + gx) / 2.0
+    grad = (gy + gx) / 2.0
+    coarse = rng.integers(0, 256, size=(8, 8)).astype(np.float32)
+    yi = np.arange(h) * 8 // h
+    xi = np.arange(w) * 8 // w
+    base = 0.3 * grad + 0.7 * coarse[yi][:, xi]
     noise = rng.integers(-40, 40, size=(h, w, 3), dtype=np.int16)
     px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
     return px

@@ -1,0 +1,243 @@
+"""End-to-end image-table validation pipeline (SURVEY.md §3.4).
+
+One heavy streaming pass over the full table (actor-pool fused stage → small
+event stream), plus narrow column-pruned passes for the shuffle rules —
+uniqueness (image_id), salted near-dup (phash), referential anti-join
+(captions.image_id ⟂ images.image_id). Verdicts/summary assemble on the
+driver from tiny aggregates, mirroring the reference's summary semantics
+(/root/reference/base_validator.py:115-125, unified_validator.py:146-165):
+a row with only warnings counts as VALID; relationship (cross-record) errors
+are tallied separately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import groups
+from ..functions.sketches import ColumnProfile, ks_stat, psi
+from ..stages.validate_batch import ValidateImagesBatch
+from .profile import DRIFT_COLS
+
+VIOLATION_SCHEMA = pa.schema([
+    ("rule_id", pa.string()), ("image_id", pa.string()), ("severity", pa.string()),
+    ("field", pa.string()), ("message", pa.string()),
+    ("partition_id", pa.int32()), ("count", pa.int64()),
+])
+
+
+@dataclass
+class ValidationOptions:
+    batch_size: int = 512          # small batches: binary rows are heavy (SURVEY §4.2)
+    concurrency: Any = (1, 8)      # actor pool size for the fused stage
+    exemplar_cap: int = 50         # per (rule, severity) per batch
+    psnr_min: float = 40.0
+    decode: bool = True
+    seed: int = 42
+    max_error_rate: float = 0.05   # verdict: partition fails above this
+    psi_threshold: float = 0.2     # verdict: drift warning/fail above this
+    neardup_min: int = 2
+    n_salt: int = 16
+
+
+@dataclass
+class ValidationResult:
+    violations: pa.Table           # exemplars + group/drift rows (VIOLATION_SCHEMA)
+    verdicts: pd.DataFrame         # per partition: rows/valid/invalid/warnings/psi/pass
+    rule_counts: pd.DataFrame      # exact (rule_id, severity, count)
+    profile: pd.DataFrame          # per (partition, col) sketch summaries
+    summary: dict = dc_field(default_factory=dict)
+
+    def write(self, out_dir: str) -> None:
+        import json
+        import os
+        import pyarrow.parquet as pq
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(self.violations, f"{out_dir}/violations.parquet")
+        self.verdicts.to_parquet(f"{out_dir}/verdicts.parquet")
+        self.rule_counts.to_parquet(f"{out_dir}/rule_counts.parquet")
+        self.profile.to_parquet(f"{out_dir}/profile.parquet")
+        with open(f"{out_dir}/summary.json", "w") as fh:
+            json.dump(self.summary, fh, indent=2, default=str)
+
+
+def _filter_kind(events, kind: str):
+    return events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), kind)), batch_format="pyarrow")
+
+
+def _collect_table(ds, schema: pa.Schema) -> pa.Table:
+    batches = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+               if b.num_rows]
+    return (pa.concat_tables(batches) if batches
+            else schema.empty_table())
+
+
+def _viol_table(rule_id, keys, severity, field, message, counts,
+                partition_ids=None) -> pa.Table:
+    n = len(keys)
+    return pa.table({
+        "rule_id": [rule_id] * n, "image_id": [str(k) for k in keys],
+        "severity": [severity] * n, "field": [field] * n,
+        "message": message if isinstance(message, list) else [message] * n,
+        "partition_id": partition_ids if partition_ids is not None
+        else np.full(n, -1, dtype=np.int32),
+        "count": np.asarray(counts, dtype=np.int64),
+    }, schema=VIOLATION_SCHEMA)
+
+
+def validate_images(images_ds, captions_ds=None, narrow_ds=None,
+                    ref_profile: dict[str, ColumnProfile] | None = None,
+                    opts: ValidationOptions = ValidationOptions()) -> ValidationResult:
+    """Validate an image+caption Dataset; returns violations, per-partition
+    verdicts, rule counts, per-partition column profiles and a run summary.
+
+    ``narrow_ds`` should be a column-pruned read of (image_id, phash[,
+    partition_id]) — at 100 TB the shuffle rules must NOT re-read ``bytes``.
+    Falls back to ``images_ds.select_columns`` (projection pushdown) if omitted.
+    """
+    # ---- pass 1: heavy fused stage → small event stream (materialized once)
+    events = images_ds.map_batches(
+        ValidateImagesBatch,
+        fn_constructor_kwargs=dict(exemplar_cap=opts.exemplar_cap,
+                                   psnr_min=opts.psnr_min, decode=opts.decode,
+                                   seed=opts.seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=opts.batch_size, concurrency=opts.concurrency, num_cpus=1,
+    ).materialize()
+
+    # ---- pass 2/3: narrow shuffle rules
+    if narrow_ds is None:
+        narrow_ds = images_ds.select_columns(["image_id", "phash"])
+
+    dup = groups.duplicate_keys(narrow_ds, "image_id").to_pandas()
+    near = groups.salted_group_exemplars(
+        narrow_ds, key="phash", row_key="image_id", n_salt=opts.n_salt,
+        k=3, min_count=opts.neardup_min).to_pandas()
+    if captions_ds is not None:
+        missing = groups.anti_join_counts(
+            captions_ds.select_columns(["image_id"]),
+            narrow_ds.select_columns(["image_id"]), "image_id").to_pandas()
+    else:
+        missing = pd.DataFrame({"image_id": [], "left_cnt": []})
+
+    # ---- assemble violations
+    viol_parts = [
+        _collect_table(
+            _filter_kind(events, "violation").map_batches(
+                lambda t: t.select([f.name for f in VIOLATION_SCHEMA])
+                .cast(VIOLATION_SCHEMA), batch_format="pyarrow"),
+            VIOLATION_SCHEMA),
+        _viol_table("unique.image_id", dup["image_id"].tolist(), "error", "image_id",
+                    "duplicate image_id", dup["cnt"].tolist()),
+        _viol_table("neardup.phash",
+                    [f"phash={int(p)}" for p in near.get("phash", [])], "warning",
+                    "phash",
+                    [f"near-duplicate phash cluster (exemplars: {', '.join(e)})"
+                     for e in near.get("exemplars", [])],
+                    near.get("cnt", pd.Series(dtype=int)).tolist()),
+        _viol_table("ref.caption_image", missing["image_id"].tolist(), "error",
+                    "image_id", "caption references a missing image_id",
+                    missing["left_cnt"].astype(int).tolist()),
+    ]
+
+    # ---- verdict partials
+    stats = _filter_kind(events, "batch_stat").to_pandas()
+    per_part = (stats.groupby("partition_id")[["rows", "n_error_rows",
+                                               "n_warn_only_rows"]].sum()
+                if len(stats) else
+                pd.DataFrame(columns=["rows", "n_error_rows", "n_warn_only_rows"]))
+
+    # ---- merge sketches per (partition, col) — distributed, then tiny driver df
+    def _merge_sketches(g: pd.DataFrame) -> pd.DataFrame:
+        prof = ColumnProfile.from_bytes(g["sketch"].iloc[0])
+        for b in g["sketch"].iloc[1:]:
+            prof.merge(ColumnProfile.from_bytes(b))
+        return pd.DataFrame({"partition_id": [g["partition_id"].iloc[0]],
+                             "col": [g["col"].iloc[0]],
+                             "sketch": [prof.to_bytes()]})
+
+    sk = (_filter_kind(events, "sketch")
+          .select_columns(["partition_id", "col", "sketch"])
+          .groupby(["partition_id", "col"])
+          .map_groups(_merge_sketches, batch_format="pandas").to_pandas())
+
+    prof_rows, drift_viol = [], []
+    psi_by_part: dict[int, float] = {}
+    for _, row in sk.iterrows():
+        prof = ColumnProfile.from_bytes(row["sketch"])
+        pid, colname = int(row["partition_id"]), row["col"]
+        entry = {"partition_id": pid, "col": colname, **prof.summary()}
+        if ref_profile and colname in ref_profile and colname in DRIFT_COLS:
+            entry["psi"] = round(psi(ref_profile[colname].digest, prof.digest), 4)
+            entry["ks"] = round(ks_stat(ref_profile[colname].digest, prof.digest), 4)
+            psi_by_part[pid] = max(psi_by_part.get(pid, 0.0), entry["psi"])
+            if entry["psi"] > opts.psi_threshold:
+                drift_viol.append((f"drift.{colname}", f"partition={pid}", pid))
+        prof_rows.append(entry)
+    profile_df = pd.DataFrame(prof_rows)
+    if drift_viol:
+        viol_parts.append(_viol_table(
+            "drift", [k for _, k, _ in drift_viol], "warning", "distribution",
+            [f"{r} exceeds PSI threshold {opts.psi_threshold} vs reference profile"
+             for r, _, _ in drift_viol],
+            [1] * len(drift_viol),
+            np.array([p for _, _, p in drift_viol], dtype=np.int32)))
+        # keep rule_id specific per column
+        last = viol_parts[-1]
+        viol_parts[-1] = last.set_column(
+            0, "rule_id", pa.array([r for r, _, _ in drift_viol]))
+
+    violations = pa.concat_tables([v for v in viol_parts if v.num_rows],
+                                  promote_options="default") \
+        if any(v.num_rows for v in viol_parts) else _viol_table("", [], "", "", "", [])
+
+    # ---- rule counts (exact)
+    rc = _filter_kind(events, "rule_count").to_pandas()
+    rc_df = (rc.groupby(["rule_id", "severity"])["count"].sum().reset_index()
+             if len(rc) else pd.DataFrame(columns=["rule_id", "severity", "count"]))
+    extra_counts = []
+    if len(dup):
+        extra_counts.append(("unique.image_id", "error", int(dup["cnt"].sum())))
+    if len(near):
+        extra_counts.append(("neardup.phash", "warning", int(near["cnt"].sum())))
+    if len(missing):
+        extra_counts.append(("ref.caption_image", "error",
+                             int(missing["left_cnt"].sum())))
+    for r, _, p in drift_viol:
+        extra_counts.append((r, "warning", 1))
+    if extra_counts:
+        rc_df = pd.concat([rc_df, pd.DataFrame(extra_counts,
+                                               columns=["rule_id", "severity", "count"])],
+                          ignore_index=True)
+        rc_df = rc_df.groupby(["rule_id", "severity"])["count"].sum().reset_index()
+    rc_df = rc_df.sort_values(["rule_id", "severity"]).reset_index(drop=True)
+
+    # ---- verdicts
+    verd = per_part.reset_index().rename(columns={"index": "partition_id"})
+    verd["error_rate"] = verd["n_error_rows"] / verd["rows"].clip(lower=1)
+    verd["max_psi"] = verd["partition_id"].map(psi_by_part).fillna(0.0)
+    verd["pass"] = (verd["error_rate"] <= opts.max_error_rate) & \
+                   (verd["max_psi"] <= opts.psi_threshold)
+    verd = verd.sort_values("partition_id").reset_index(drop=True)
+
+    total = int(verd["rows"].sum())
+    invalid = int(verd["n_error_rows"].sum())
+    rel_errors = int((dup["cnt"].sum() if len(dup) else 0) +
+                     (missing["left_cnt"].sum() if len(missing) else 0))
+    summary = {
+        "total": total, "valid": total - invalid, "invalid": invalid,
+        "warnings": int(verd["n_warn_only_rows"].sum()),
+        "relationship_errors": rel_errors,
+        "partitions": int(len(verd)),
+        "partitions_passed": int(verd["pass"].sum()),
+        "drift_partitions": sorted({int(p) for _, _, p in drift_viol}),
+    }
+    return ValidationResult(violations=violations, verdicts=verd,
+                            rule_counts=rc_df, profile=profile_df, summary=summary)

@@ -76,6 +76,7 @@ class EvalResult:
     rule_counts: list[tuple[str, str, int]]   # FULL (rule_id, severity, count)
     error_mask: np.ndarray        # per-row: any error-severity violation
     warning_mask: np.ndarray      # per-row: any warning-severity violation
+    violation_idx: np.ndarray | None = None   # batch row index of each exemplar
 
 
 VIOLATION_FIELDS = [
@@ -108,6 +109,7 @@ class RuleSet:
         warn = np.zeros(n, dtype=bool)
         keys = table.column(self.key_column)
         v_rule, v_key, v_sev, v_field, v_msg = [], [], [], [], []
+        v_idx: list[np.ndarray] = []
         counts: list[tuple[str, str, int]] = []
 
         def emit(rule_id: str, field: str, findings: list[Finding]) -> None:
@@ -119,6 +121,7 @@ class RuleSet:
                 counts.append((rule_id, sev, cnt))
                 (err if sev == "error" else warn).__ior__(mask)
                 idx = np.flatnonzero(mask)[:exemplar_cap]
+                v_idx.append(idx)
                 kv = [None if v is None else str(v)
                       for v in keys.take(pa.array(idx)).to_pylist()]
                 v_rule.extend([rule_id] * len(idx))
@@ -142,4 +145,6 @@ class RuleSet:
             {"rule_id": v_rule, "image_id": v_key, "severity": v_sev,
              "field": v_field, "message": v_msg},
             schema=pa.schema(VIOLATION_FIELDS))
-        return EvalResult(violations, counts, err, warn)
+        all_idx = (np.concatenate(v_idx) if v_idx
+                   else np.empty(0, dtype=np.int64))
+        return EvalResult(violations, counts, err, warn, all_idx)

@@ -1,0 +1,114 @@
+"""The fused per-batch validation stage: normalize → scalar rules → decode
+checks → sketch partials, emitting ONE small "event stream" batch per input
+batch (SURVEY.md §3.4).
+
+Single pass over the heavy ``bytes`` column; outputs are sparse/tiny:
+
+- ``violation``  rows — exemplar violations, capped per (rule, severity) per
+  batch; full counts live in ``rule_count`` rows (scale contract: a bad
+  partition cannot emit ≫1 row per input row).
+- ``rule_count`` rows — exact per-(rule, severity) violation counts.
+- ``batch_stat`` rows — per-partition row totals + per-row error/warn-only
+  counts (the verdict partials; graft of
+  /root/reference/base_validator.py:115-125 summary semantics where a row
+  with only warnings counts as valid).
+- ``sketch``     rows — serialized ColumnProfile partials per (partition,
+  column), merged downstream by a tiny groupby (mergeable sketches).
+
+Runs as an ACTOR POOL (`map_batches(ValidateImagesBatch, concurrency=N)`):
+the rule set, decoder and reference profile are built once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import ColumnProfile
+from ..rules import image_rules
+from ..rules.spec import RuleSet
+from .decode import DecodeChecker
+
+EVENT_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("rule_id", pa.string()),
+    ("image_id", pa.string()),
+    ("severity", pa.string()),
+    ("field", pa.string()),
+    ("message", pa.string()),
+    ("partition_id", pa.int32()),
+    ("count", pa.int64()),
+    ("rows", pa.int64()),
+    ("n_error_rows", pa.int64()),
+    ("n_warn_only_rows", pa.int64()),
+    ("col", pa.string()),
+    ("sketch", pa.binary()),
+])
+
+PROFILE_COLS = ("w", "h", "byte_size", "phash")
+
+
+def _events(rows: list[dict]) -> pa.Table:
+    cols = {f.name: [r.get(f.name) for r in rows] for f in EVENT_SCHEMA}
+    return pa.table(cols, schema=EVENT_SCHEMA)
+
+
+class ValidateImagesBatch:
+    def __init__(self, exemplar_cap: int = 50, psnr_min: float = 40.0,
+                 decode: bool = True, seed: int = 42,
+                 ruleset: RuleSet | None = None):
+        self.exemplar_cap = exemplar_cap
+        self.ruleset = ruleset or image_rules.build_image_ruleset()
+        self.decoder = DecodeChecker(psnr_min=psnr_min, seed=seed) if decode else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _events([])
+        if "partition_id" not in batch.column_names:
+            batch = batch.append_column(
+                "partition_id", pa.array(np.zeros(batch.num_rows, dtype=np.int32)))
+        batch = batch.append_column(
+            "byte_size", pc.cast(pc.binary_length(batch.column("bytes")), pa.int64()))
+
+        norm, changed = image_rules.normalize_image_batch(batch)
+        extra = {"normalize.fmt:fmt": [(changed["fmt"], "warning",
+                                        "fmt value was normalized (trim/lowercase)")]}
+        if self.decoder is not None:
+            extra.update(self.decoder.findings(norm))
+        res = self.ruleset.evaluate(norm, exemplar_cap=self.exemplar_cap,
+                                    extra_findings=extra)
+
+        parts = norm.column("partition_id").to_numpy(zero_copy_only=False)
+        out: list[dict] = []
+
+        # violation exemplars (carry the partition of their row)
+        v = res.violations
+        vparts = parts[res.violation_idx] if len(res.violation_idx) else []
+        for i in range(v.num_rows):
+            out.append({"kind": "violation",
+                        "rule_id": v.column("rule_id")[i].as_py(),
+                        "image_id": v.column("image_id")[i].as_py(),
+                        "severity": v.column("severity")[i].as_py(),
+                        "field": v.column("field")[i].as_py(),
+                        "message": v.column("message")[i].as_py(),
+                        "partition_id": int(vparts[i]), "count": 1})
+        # exact per-rule counts
+        for rule_id, sev, cnt in res.rule_counts:
+            out.append({"kind": "rule_count", "rule_id": rule_id, "severity": sev,
+                        "count": int(cnt), "partition_id": -1})
+        # per-partition verdict partials + sketch partials
+        for pid in np.unique(parts):
+            pmask = parts == pid
+            err = res.error_mask[pmask]
+            warn = res.warning_mask[pmask]
+            out.append({"kind": "batch_stat", "partition_id": int(pid),
+                        "rows": int(pmask.sum()), "n_error_rows": int(err.sum()),
+                        "n_warn_only_rows": int((warn & ~err).sum())})
+            sub = norm.filter(pa.array(pmask))
+            for colname in PROFILE_COLS:
+                if colname in sub.column_names:
+                    prof = ColumnProfile().add_arrow(sub.column(colname))
+                    out.append({"kind": "sketch", "partition_id": int(pid),
+                                "col": colname, "sketch": prof.to_bytes()})
+        return _events(out)

@@ -1,0 +1,100 @@
+"""Golden end-to-end: full pipeline over the seeded synthetic table must
+reproduce the exactly-computed expected violation multiset (FIXTURES.md §A.3),
+mirroring the reference's seeded-corpus + golden-output strategy
+(/root/reference/validation_results.json)."""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from faang_pydantics_validation_ray.imagetable import datagen
+from faang_pydantics_validation_ray.pipelines import profile as prof
+from faang_pydantics_validation_ray.pipelines.validate import (
+    ValidationOptions, validate_images,
+)
+
+N = 2000
+N_FILES = 4
+
+
+@pytest.fixture(scope="module")
+def golden_run(ray_session):
+    import ray.data as rd
+    d = datagen.ensure_image_table(n=N, seed=42, n_files=N_FILES)
+    clean = datagen.ensure_image_table(n=N, seed=42, n_files=N_FILES,
+                                       violations=False, drift=False)
+    images = rd.read_parquet(f"{d}/images")
+    captions = rd.read_parquet(f"{d}/captions.parquet")
+    ref_profile = prof.build_reference_profile(rd.read_parquet(f"{clean}/images"))
+    res = validate_images(images, captions_ds=captions, ref_profile=ref_profile,
+                          opts=ValidationOptions(batch_size=256, concurrency=2))
+    return res
+
+
+def test_violation_multiset_matches_golden(golden_run):
+    res = golden_run
+    got = collections.Counter()
+    for r, i, s, c in zip(res.violations.column("rule_id").to_pylist(),
+                          res.violations.column("image_id").to_pylist(),
+                          res.violations.column("severity").to_pylist(),
+                          res.violations.column("count").to_pylist()):
+        if r.startswith("drift."):
+            continue  # partition-level, asserted separately
+        got[(r, i, s)] += 1
+    exp = collections.Counter()
+    for r, i, s in datagen.expected_violations(N, 42, N_FILES):
+        exp[(r, i, s)] += 1
+    missing = exp - got
+    unexpected = got - exp
+    assert not missing, f"missing violations: {dict(list(missing.items())[:10])}"
+    assert not unexpected, f"unexpected violations: {dict(list(unexpected.items())[:10])}"
+
+
+def test_verdicts_and_drift(golden_run):
+    res = golden_run
+    v = res.verdicts
+    assert len(v) == N_FILES
+    assert set(v["partition_id"]) == set(range(N_FILES))
+    # drift partition is the last file, and only it fails
+    drift_pid = N_FILES - 1
+    assert res.summary["drift_partitions"] == [drift_pid]
+    assert not v.loc[v.partition_id == drift_pid, "pass"].iloc[0]
+    assert v.loc[v.partition_id != drift_pid, "pass"].all()
+    # summary semantics: valid + invalid == total; warnings are valid rows
+    s = res.summary
+    assert s["valid"] + s["invalid"] == s["total"] == N
+    assert s["warnings"] > 0 and s["relationship_errors"] > 0
+
+
+def test_rule_counts_exact(golden_run):
+    res = golden_run
+    exp = collections.Counter()
+    for r, _, s in datagen.expected_violations(N, 42, N_FILES):
+        exp[(r, s)] += 1
+    rc = {(r, s): int(c) for r, s, c in
+          res.rule_counts[["rule_id", "severity", "count"]].itertuples(index=False)}
+    # row-level rules: counts must match exactly
+    for key in [("required.image_id", "error"), ("enum.fmt", "error"),
+                ("pattern.image_id", "error"), ("range.dims", "error"),
+                ("pixel.psnr", "error"), ("pixel.decode", "error"),
+                ("xfield.fmt_magic", "error"), ("xfield.dims_match", "error"),
+                ("recommended.caption", "warning"), ("normalize.fmt", "warning")]:
+        assert rc.get(key) == exp[key], (key, rc.get(key), exp[key])
+    # group rules: count = total affected rows, not groups
+    dup_rows = sum(1 for i in range(N)
+                   if (i % 1000) in (datagen.B_DUP_PREV, datagen.B_DUP_HOT)
+                   or ((i + 1) % 1000 == datagen.B_DUP_PREV and i + 1 < N))
+    assert rc[("unique.image_id", "error")] == dup_rows
+    assert rc[("ref.caption_image", "error")] == exp[("ref.caption_image", "error")]
+
+
+def test_profile_written(golden_run):
+    res = golden_run
+    p = res.profile
+    assert {"w", "h", "byte_size", "phash"} <= set(p["col"])
+    wp = p[(p.col == "w") & (p.partition_id == 0)].iloc[0]
+    assert wp["count"] == N // N_FILES
+    assert wp["psi"] < 0.2  # non-drift partition close to reference
+    wd = p[(p.col == "w") & (p.partition_id == N_FILES - 1)].iloc[0]
+    assert wd["psi"] > 0.2
