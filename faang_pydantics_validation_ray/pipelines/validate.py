@@ -44,6 +44,11 @@ class ValidationOptions:
     psi_threshold: float = 0.2     # verdict: drift warning/fail above this
     neardup_min: int = 2
     n_salt: int = 16
+    # group (cross-record) rules — disabled in per-partition checkpointed
+    # runs, where they execute once globally over narrow columns instead
+    check_unique: bool = True
+    check_neardup: bool = True
+    check_referential: bool = True
 
 
 @dataclass
@@ -116,11 +121,15 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     if narrow_ds is None:
         narrow_ds = images_ds.select_columns(["image_id", "phash"])
 
-    dup = groups.duplicate_keys(narrow_ds, "image_id").to_pandas()
-    near = groups.salted_group_exemplars(
+    empty_dup = pd.DataFrame({"image_id": [], "cnt": []})
+    empty_near = pd.DataFrame({"phash": [], "cnt": [], "exemplars": []})
+    dup = (groups.duplicate_keys(narrow_ds, "image_id").to_pandas()
+           if opts.check_unique else empty_dup)
+    near = (groups.salted_group_exemplars(
         narrow_ds, key="phash", row_key="image_id", n_salt=opts.n_salt,
         k=3, min_count=opts.neardup_min).to_pandas()
-    if captions_ds is not None:
+        if opts.check_neardup else empty_near)
+    if captions_ds is not None and opts.check_referential:
         missing = groups.anti_join_counts(
             captions_ds.select_columns(["image_id"]),
             narrow_ds.select_columns(["image_id"]), "image_id").to_pandas()

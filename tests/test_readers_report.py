@@ -1,0 +1,52 @@
+"""Schema-enforcing reader (P12) + report rendering."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from faang_pydantics_validation_ray.imagetable import datagen
+from faang_pydantics_validation_ray.sources.readers import (
+    read_image_table, schema_violations,
+)
+
+
+def test_schema_clean(tmp_path):
+    d = datagen.ensure_image_table(n=200, seed=42, n_files=1)
+    assert schema_violations(d + "/images") == []
+
+
+def test_schema_unknown_and_missing(tmp_path):
+    t = datagen.generate_chunk(0, 10, 10, 42, 1)
+    bad = t.append_column("rogue", pa.array(range(10))).drop_columns(["caption"])
+    p = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, p)
+    v = schema_violations(p)
+    rules = {x["rule_id"] for x in v}
+    assert rules == {"schema.unknown_column", "schema.missing_column"}
+    fields = {x["field"] for x in v}
+    assert {"rogue", "caption"} <= fields
+
+
+def test_read_strict_raises(tmp_path, ray_session):
+    t = datagen.generate_chunk(0, 10, 10, 42, 1).append_column(
+        "rogue", pa.array(range(10)))
+    pq.write_table(t, str(tmp_path / "x.parquet"))
+    with pytest.raises(ValueError, match="schema violations"):
+        read_image_table(str(tmp_path / "x.parquet"))
+    ds, viol = read_image_table(str(tmp_path / "x.parquet"), strict=False)
+    assert viol and ds.count() == 10
+
+
+def test_report_renders(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.pipelines.report import render_report
+    from faang_pydantics_validation_ray.pipelines.validate import (
+        ValidationOptions, validate_images,
+    )
+    d = datagen.ensure_image_table(n=1000, seed=42, n_files=2)
+    res = validate_images(rd.read_parquet(f"{d}/images"),
+                          captions_ds=rd.read_parquet(f"{d}/captions.parquet"),
+                          opts=ValidationOptions(batch_size=256, concurrency=2))
+    rep = render_report(res)
+    assert "VALIDATION REPORT" in rep and "unique.image_id" in rep
+    assert "part=0" in rep and ("PASS" in rep or "FAIL" in rep)
