@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines (task brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Shapes, Ray-Data-first:
+
+- **exact**: content hash per batch → `groupby(hash).aggregate(Min(id),
+  Count)` — aggregate-only shuffle, no row payloads move; survivors =
+  ``keep_id`` per hash (deterministic: smallest id wins). md5 is used so the
+  DuckDB oracle can reproduce the grouping verbatim.
+- **MinHash+LSH**: per-batch vectorized shingle→minhash signatures →
+  explode to (band_id, band_hash, id) rows → groupby bands → candidate
+  groups → exact n-gram Jaccard verification on the (sparse) candidates.
+- **SimHash**: 64-bit weighted token hash; candidates via 16-bit band
+  buckets; verified by Hamming distance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash_column
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------------ exact
+
+
+def add_md5_batch(t: pa.Table, col: str = "text",
+                  out: str = "content_hash") -> pa.Table:
+    vals = pc.fill_null(t.column(col), "").to_pylist()
+    hs = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+    return t.append_column(out, pa.array(hs, type=pa.string()))
+
+
+def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset(content_hash, keep_id, cnt): one row per distinct content,
+    keep_id = min id (deterministic survivor)."""
+    from ray.data.aggregate import Count, Min
+    hashed = ds.map_batches(lambda t: add_md5_batch(t, col)
+                            .select(["content_hash", id_col]),
+                            batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="cnt"))
+
+
+# ------------------------------------------------------------- minhash+LSH
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct 64-bit hashes of the char k-grams (vectorized per row)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return hash_column(np.array([text], dtype=object))
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        hs = (win * pw).sum(axis=1, dtype=np.uint64)
+    return np.unique(hs)
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures; stateful (permutation
+    parameters built once per actor)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % MERSENNE
+        return m.min(axis=1)
+
+
+def minhash_band_rows(t: pa.Table, col: str, id_col: str, hasher: MinHasher,
+                      bands: int, k: int = 5) -> pa.Table:
+    """(band_id, band_hash, id) rows for LSH bucketing — the explode step."""
+    rows_per_band = hasher.num_perm // bands
+    texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pylist()
+    ids = t.column(id_col).to_pylist()
+    b_id, b_hash, b_doc = [], [], []
+    with np.errstate(over="ignore"):
+        pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(rows_per_band,
+                                                        dtype=np.uint64)
+        for doc, txt in zip(ids, texts):
+            sig = hasher.signature(_shingle_hashes(txt, k))
+            bh = (sig.reshape(bands, rows_per_band) * pw).sum(axis=1,
+                                                              dtype=np.uint64)
+            b_id.extend(range(bands))
+            b_hash.extend(bh.astype(np.int64).tolist())
+            b_doc.extend([doc] * bands)
+    return pa.table({"band_id": pa.array(b_id, type=pa.int32()),
+                     "band_hash": pa.array(b_hash, type=pa.int64()),
+                     id_col: pa.array(b_doc)})
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _shingle_hashes(a.lower(), k), _shingle_hashes(b.lower(), k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    return len(inter) / (len(sa) + len(sb) - len(inter))
+
+
+def minhash_lsh_candidates(ds, col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16,
+                           k: int = 5):
+    """→ Dataset(band_id, band_hash, ids list) of LSH buckets with ≥2 docs.
+
+    shingle → minhash → band → bucket groupby (one shuffle of narrow band
+    rows). Candidate verification is a separate step so callers can batch
+    text lookups."""
+    hasher = MinHasher(num_perm)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        return minhash_band_rows(t, col, id_col, hasher, bands, k)
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"band_id": [], "band_hash": [], "ids": []})
+        return pd.DataFrame({"band_id": [g["band_id"].iloc[0]],
+                             "band_hash": [g["band_hash"].iloc[0]],
+                             "ids": [sorted(g[id_col].tolist())]})
+
+    band_rows = ds.map_batches(to_bands, batch_format="pyarrow")
+    return band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        collect, batch_format="pandas")
+
+
+def verify_candidates(candidates_df: pd.DataFrame, texts_by_id: dict,
+                      threshold: float = 0.8, k: int = 5) -> pd.DataFrame:
+    """Exact Jaccard verification of candidate pairs → (id_a, id_b, jaccard).
+    ``texts_by_id`` is the sparse candidate-text lookup (broadcast small side)."""
+    pairs = set()
+    for ids in candidates_df.get("ids", []):
+        for a, b in combinations(sorted(set(ids)), 2):
+            pairs.add((a, b))
+    rows = []
+    for a, b in sorted(pairs):
+        j = ngram_jaccard(str(texts_by_id[a]), str(texts_by_id[b]), k)
+        if j >= threshold:
+            rows.append((a, b, round(j, 4)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_batch(t: pa.Table, col: str = "text",
+                  out: str = "simhash") -> pa.Table:
+    """64-bit SimHash over word tokens (unit weights), vectorized per row."""
+    texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pylist()
+    out_vals = np.zeros(len(texts), dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, txt in enumerate(texts):
+        words = txt.split()
+        if not words:
+            continue
+        hs = hash_column(np.array(words, dtype=object))
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        v = np.where(bits.sum(axis=0) * 2 >= len(hs), np.uint64(1), np.uint64(0))
+        out_vals[i] = np.int64((v << bit_idx).sum(dtype=np.uint64).astype(np.int64))
+    return t.append_column(out, pa.array(out_vals, type=pa.int64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def simhash_near_dups(ds, col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3):
+    """Candidates via 4×16-bit band buckets (two equal bands ⇒ Hamming ≤ 32,
+    any near-dup with distance ≤3 shares ≥1 exact 16-bit band by pigeonhole),
+    verified by exact Hamming distance → Dataset(id_a, id_b, hamming)."""
+    def to_bands(t: pa.Table) -> pa.Table:
+        t = simhash_batch(t, col)
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column(id_col).to_pylist()
+        rows = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
+        for band in range(4):
+            vals = ((sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows["band_id"].extend([band] * len(ids))
+            rows["band_val"].extend(vals.tolist())
+            rows[id_col].extend(ids)
+            rows["simhash"].extend(sh.astype(np.int64).tolist())
+        return pa.table(rows)
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        out = []
+        rows = sorted(zip(g[id_col], g["simhash"]))
+        for (ia, sa), (ib, sb) in combinations(rows, 2):
+            hd = hamming64(int(sa), int(sb))
+            if hd <= max_hamming:
+                out.append((ia, ib, hd))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        collect, batch_format="pandas")
+    # same pair may match in several bands — dedup
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pandas")

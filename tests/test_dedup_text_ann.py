@@ -1,0 +1,180 @@
+"""Training-data ops: text stats (DuckDB-cross-checked), langid, fingerprints,
+exact + minhash + simhash dedup, brute-force & LSH ANN, multimodal stages."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from faang_pydantics_validation_ray.functions import ann, dedup, multimodal, text
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_text_stats_match_duckdb():
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["The quick brown fox!", "  a  b  ", "", None]})
+    out = text.text_stats_batch(t)
+    con = duckdb.connect()
+    con.register("d", t)
+    sql = con.sql("""
+        SELECT CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+               len(regexp_extract_all(trim(coalesce(text,'')),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens
+        FROM d ORDER BY doc_id""").fetchall()
+    assert out.column("ws_tokens").to_pylist() == [r[0] for r in sql]
+    assert out.column("re_tokens").to_pylist() == [r[1] for r in sql]
+    q = out.column("quality_score").to_pylist()
+    assert all(0.0 <= x <= 1.0 for x in q)
+
+
+def test_langid_heuristic():
+    t = pa.table({"text": [
+        "the cat and the dog is in that house with food for all",
+        "der hund und die katze ist nicht mit dem haus",
+        "le chat et la maison dans les champs est grande",
+        "el perro y los gatos es una casa para todos con comida",
+        "中文文本处理测试样例内容",
+        "zzz qqq xxx",
+    ]})
+    got = text.langid_batch(t).column("detected_lang").to_pylist()
+    assert got == ["en", "de", "fr", "es", "zh", "unknown"]
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    t = pa.table({"text": ["the quick brown fox jumps over the lazy dog " * 3,
+                           "the quick brown fox jumps over the lazy dog " * 3,
+                           "a completely different document body here now ok " * 3]})
+    fp = text.fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# ----------------------------------------------------------------- dedup
+
+
+@pytest.fixture()
+def doc_ds(ray_session):
+    import ray.data as rd
+    base = rd.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    # seed exact + near duplicates
+    dup = base.iloc[:3].copy()
+    dup["doc_id"] = [9001, 9002, 9003]
+    near = base.iloc[:2].copy()
+    near["doc_id"] = [9101, 9102]
+    near["text"] = near["text"].str.slice(0, -4) + " ok"
+    return rd.from_pandas(pd.concat([base, dup, near], ignore_index=True))
+
+
+def test_exact_dedup(doc_ds):
+    g = dedup.exact_dedup_groups(doc_ds).to_pandas()
+    dups = g[g.cnt > 1]
+    assert len(dups) == 3 and set(dups.cnt) == {2}
+    assert (dups.keep_id < 9000).all()  # min id survives
+
+
+def test_minhash_lsh_finds_near_dups(doc_ds):
+    cand = dedup.minhash_lsh_candidates(doc_ds).to_pandas()
+    texts = {r.doc_id: r.text for r in
+             doc_ds.to_pandas().itertuples(index=False)}
+    pairs = dedup.verify_candidates(cand, texts, threshold=0.8)
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 9001) in found and (1, 9002) in found and (2, 9003) in found
+    assert (0, 9101) in found and (1, 9102) in found  # near (not exact) dups
+    assert (pairs.jaccard >= 0.8).all()
+
+
+def test_simhash_near_dups(doc_ds):
+    pairs = dedup.simhash_near_dups(doc_ds).to_pandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in
+             zip(pairs.id_a, pairs.id_b)}
+    assert (0, 9001) in found and (2, 9003) in found
+    assert (pairs.hamming <= 3).all()
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zyxwvuts") == 0.0
+
+
+# ------------------------------------------------------------------- ann
+
+
+def test_topk_cosine_exact(ray_session):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = ds.to_pandas()
+    queries = np.stack(emb.embedding.iloc[:3].to_numpy())
+    got = ann.topk_cosine(ds, queries, k=5)
+    # each query's own vector must rank first with score 1.0
+    for qid in range(3):
+        top = got[got.query_id == qid].iloc[0]
+        assert top.vec_id == emb.vec_id.iloc[qid] and top.score == 1.0
+    # exact check vs numpy for query 0
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q0 = mn[0]
+    scores = mn @ q0
+    best = emb.vec_id.to_numpy()[np.argsort(-scores)[:5]]
+    assert got[got.query_id == 0].vec_id.tolist() == sorted(
+        best.tolist(), key=lambda v: (-scores[list(emb.vec_id).index(v)], v))
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = ds.to_pandas()
+    queries = np.stack(emb.embedding.iloc[:5].to_numpy())
+    exact = ann.topk_cosine(ds, queries, k=5)
+    approx = ann.lsh_topk_cosine(ds, queries, k=5, n_planes=10, probes=2)
+    # own-vector must be found; recall@5 ≥ 0.5 overall
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        assert emb.vec_id.iloc[qid] in a
+        hits += len(e & a)
+    assert hits / 25 >= 0.5
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_image_features_stage(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.imagetable import datagen
+    d = datagen.ensure_image_table(n=300, seed=42, n_files=1)
+    out = rd.read_parquet(f"{d}/images").map_batches(
+        multimodal.ImageFeatures, batch_format="pyarrow",
+        concurrency=2, num_cpus=1).to_pandas()
+    assert "bytes" not in out.columns  # payload dropped early
+    ok = out[out.decode_ok]
+    assert len(ok) > 250
+    assert (ok.decoded_w > 0).all() and (ok.luma_std > 0).all()
+
+
+def test_resize_stage_roundtrip(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.imagetable import codec, datagen
+    d = datagen.ensure_image_table(n=50, seed=42, n_files=1, violations=False)
+    out = rd.read_parquet(f"{d}/images").map_batches(
+        multimodal.ResizeImages, fn_constructor_kwargs=dict(target=(16, 16)),
+        batch_format="pyarrow", concurrency=1, num_cpus=1).take(5)
+    for row in out:
+        fmt, w, h, px = codec.decode(row["bytes"])
+        assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+
+
+def test_audio_stub_contract():
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFrameSample()
+    fake = multimodal.AudioFrameSample(
+        fake_decoder=lambda buf: [np.ones(4), np.zeros(4)])
+    t = pa.table({"clip_id": ["c1"], "bytes": [b"xx"]})
+    out = fake(t)
+    assert out.schema.equals(multimodal.AudioFrameSample.OUTPUT_SCHEMA)
+    assert out.num_rows == 2
