@@ -1,0 +1,616 @@
+"""Driver-contract queries: every operator family exposed as a callable over
+an ``sf_dir`` of parquet tables, with (where SQL-expressible) an exactly
+matching DuckDB oracle string (see ``oracle_sql`` in ``__ray_entry__.py``).
+
+The rule engine, shuffle primitives, dedup/text/ANN ops are the SAME code
+paths the flagship image pipeline uses — applied here to the TPC-H-ish
+testdata so the DuckDB gate cross-checks the engine's kernels row-for-row.
+
+Column names are chosen to match the SQL aliases exactly (driver hashes
+values under sorted column names); floats are rounded identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import ann, dedup, groups, text
+from ..rules import kernels
+from ..rules.spec import RuleSet
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sf(sf_dir: str) -> float:
+    import os
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+# ------------------------------------------------------ rule-engine helpers
+
+
+def rule_violation_counts(ds, ruleset: RuleSet, all_rules: list[tuple[str, str]]
+                          ) -> pd.DataFrame:
+    """Exact per-rule violation counts over a Dataset: per-batch partial
+    counts (vectorized kernels) → tiny groupby sum → reindexed over the full
+    declared rule list so zero-violation rules still appear (SQL parity)."""
+    from ray.data.aggregate import Sum
+
+    def f(t: pa.Table) -> pa.Table:
+        res = ruleset.evaluate(t, exemplar_cap=0)
+        if not res.rule_counts:
+            return pa.table({"rule_id": pa.array([], type=pa.string()),
+                             "severity": pa.array([], type=pa.string()),
+                             "violations": pa.array([], type=pa.int64())})
+        r, s, c = zip(*res.rule_counts)
+        return pa.table({"rule_id": list(r), "severity": list(s),
+                         "violations": pa.array(c, type=pa.int64())})
+
+    agg = (ds.map_batches(f, batch_format="pyarrow")
+           .groupby(["rule_id", "severity"])
+           .aggregate(Sum("violations", alias_name="violations")).to_pandas())
+    base = pd.DataFrame(all_rules, columns=["rule_id", "severity"])
+    out = base.merge(agg, on=["rule_id", "severity"], how="left")
+    out["violations"] = out["violations"].fillna(0).astype("int64")
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
+def q_rules_orders(sf_dir: str) -> pd.DataFrame:
+    rs = RuleSet(key_column="o_orderkey")
+    rs.add("enum.o_orderstatus", "o_orderstatus",
+           kernels.enum_in("o_orderstatus", ["O", "F"]))
+    rs.add("range.o_totalprice", "o_totalprice",
+           kernels.numeric_range("o_totalprice", lo=0, hi=450000))
+    rs.add("pattern.o_orderpriority", "o_orderpriority",
+           kernels.regex("o_orderpriority", r"^[1-5]-"))
+    rs.add("required.o_custkey", "o_custkey", kernels.required("o_custkey"))
+    return rule_violation_counts(_read(sf_dir, "orders"), rs, [
+        ("enum.o_orderstatus", "error"), ("range.o_totalprice", "error"),
+        ("pattern.o_orderpriority", "error"), ("required.o_custkey", "error")])
+
+
+SQL_RULES_ORDERS = """
+SELECT 'enum.o_orderstatus' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O','F')) AS BIGINT) AS violations FROM orders
+UNION ALL SELECT 'pattern.o_orderpriority', 'error',
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT) FROM orders
+UNION ALL SELECT 'range.o_totalprice', 'error',
+       CAST(count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 450000)
+            AS BIGINT) FROM orders
+UNION ALL SELECT 'required.o_custkey', 'error',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+ORDER BY rule_id
+"""
+
+
+def q_rules_lineitem(sf_dir: str) -> pd.DataFrame:
+    rs = RuleSet(key_column="l_orderkey")
+    rs.add("range.l_quantity", "l_quantity",
+           kernels.numeric_range("l_quantity", lo=1, hi=45))
+    rs.add("range.l_discount", "l_discount",
+           kernels.numeric_range("l_discount", lo=0.0, hi=0.06, severity="warning"))
+    rs.add("enum.l_returnflag", "l_returnflag",
+           kernels.enum_in("l_returnflag", ["A", "N", "R"]))
+    rs.add("xfield.returned_tax", "l_tax", kernels.expr_mask(
+        ["l_returnflag", "l_tax"],
+        lambda rf, tax: np.asarray(pc.and_(pc.equal(rf, "R"),
+                                           pc.greater(tax, 0.06))),
+        "returned lines must not exceed 6% tax"))
+    return rule_violation_counts(_read(sf_dir, "lineitem"), rs, [
+        ("range.l_quantity", "error"), ("range.l_discount", "warning"),
+        ("enum.l_returnflag", "error"), ("xfield.returned_tax", "error")])
+
+
+SQL_RULES_LINEITEM = """
+SELECT 'enum.l_returnflag' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+       AS violations FROM lineitem
+UNION ALL SELECT 'range.l_discount', 'warning',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.06) AS BIGINT)
+       FROM lineitem
+UNION ALL SELECT 'range.l_quantity', 'error',
+       CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS BIGINT)
+       FROM lineitem
+UNION ALL SELECT 'xfield.returned_tax', 'error',
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R' AND l_tax > 0.06) AS BIGINT)
+       FROM lineitem
+ORDER BY rule_id
+"""
+
+
+def q_rules_customer(sf_dir: str) -> pd.DataFrame:
+    rs = RuleSet(key_column="c_custkey")
+    rs.add("range.c_acctbal", "c_acctbal",
+           kernels.numeric_range("c_acctbal", lo=0, severity="warning"))
+    rs.add("pattern.c_name", "c_name", kernels.regex("c_name", r"^Customer#"))
+    return rule_violation_counts(_read(sf_dir, "customer"), rs, [
+        ("range.c_acctbal", "warning"), ("pattern.c_name", "error")])
+
+
+SQL_RULES_CUSTOMER = """
+SELECT 'pattern.c_name' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE c_name IS NOT NULL
+            AND NOT regexp_matches(c_name, '^Customer#')) AS BIGINT) AS violations
+FROM customer
+UNION ALL SELECT 'range.c_acctbal', 'warning',
+       CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) FROM customer
+ORDER BY rule_id
+"""
+
+
+def q_rules_events(sf_dir: str) -> pd.DataFrame:
+    rs = RuleSet(key_column="event_id")
+    rs.add("range.value", "value",
+           kernels.numeric_range("value", lo=0, hi=400, severity="warning"))
+    rs.add("enum.event_type", "event_type", kernels.enum_in(
+        "event_type", ["purchase", "error", "view", "click", "signup"]))
+    rs.add("required.props", "props", kernels.required("props"))
+    return rule_violation_counts(_read(sf_dir, "events"), rs, [
+        ("range.value", "warning"), ("enum.event_type", "error"),
+        ("required.props", "error")])
+
+
+SQL_RULES_EVENTS = """
+SELECT 'enum.event_type' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND event_type NOT IN
+            ('purchase','error','view','click','signup')) AS BIGINT) AS violations
+FROM events
+UNION ALL SELECT 'range.value', 'warning',
+       CAST(count(*) FILTER (WHERE value < 0 OR value > 400) AS BIGINT) FROM events
+UNION ALL SELECT 'required.props', 'error',
+       CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events
+ORDER BY rule_id
+"""
+
+
+# ------------------------------------------------------------ aggregations
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", rev)
+
+    out = (ds.map_batches(add_rev, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")).to_pandas())
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_stats_lineitem(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Mean, Min
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    row = ds.aggregate(Count(alias_name="cnt"),
+                       Min("l_quantity", alias_name="min_qty"),
+                       Max("l_quantity", alias_name="max_qty"),
+                       Mean("l_extendedprice", alias_name="avg_price"))
+    df = pd.DataFrame([row])
+    df["avg_price"] = df["avg_price"].round(4)
+    df["cnt"] = df["cnt"].astype("int64")
+    return df[["cnt", "min_qty", "max_qty", "avg_price"]]
+
+
+SQL_STATS_LINEITEM = """
+SELECT COUNT(*) AS cnt, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+"""
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window counts + sums per event_type (streaming-shaped
+    workload over the ordered events log; SURVEY.md §2.7)."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["window_start", "event_type", "value"]]
+
+    out = (ds.map_batches(add_window, batch_format="pandas")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_topk_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10).to_pandas()
+    return out[["o_orderkey", "o_totalprice"]]
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ----------------------------------------------------- uniqueness / joins
+
+
+def q_unique_lineitem(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    dups = groups.duplicate_keys(ds, "l_orderkey").to_pandas()
+    return pd.DataFrame({"n_dup_keys": pd.array([len(dups)], dtype="int64"),
+                         "dup_rows": pd.array([int(dups["cnt"].sum()) if len(dups)
+                                               else 0], dtype="int64")})
+
+
+SQL_UNIQUE_LINEITEM = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_keys,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS dup_rows
+FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(*) > 1)
+"""
+
+
+def q_unique_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    dups = groups.duplicate_keys(ds, "o_orderkey").to_pandas()
+    return pd.DataFrame({"n_dup_keys": pd.array([len(dups)], dtype="int64"),
+                         "dup_rows": pd.array([int(dups["cnt"].sum()) if len(dups)
+                                               else 0], dtype="int64")})
+
+
+SQL_UNIQUE_ORDERS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_keys,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS dup_rows
+FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+"""
+
+
+def _rename_to_key(ds, col: str):
+    return ds.map_batches(lambda t: pa.table({"key": t.column(col)}),
+                          batch_format="pyarrow")
+
+
+def q_ref_events_customer(sf_dir: str) -> pd.DataFrame:
+    """Referential check: events.user_id must exist in customer.c_custkey
+    (anti-join; SURVEY.md J1)."""
+    ev = _rename_to_key(_read(sf_dir, "events", columns=["user_id"]), "user_id")
+    cu = _rename_to_key(_read(sf_dir, "customer", columns=["c_custkey"]),
+                        "c_custkey")
+    missing = groups.anti_join_counts(ev, cu, "key").to_pandas()
+    return pd.DataFrame({
+        "orphan_events": pd.array([int(missing["left_cnt"].sum()) if len(missing)
+                                   else 0], dtype="int64"),
+        "orphan_users": pd.array([len(missing)], dtype="int64")})
+
+
+SQL_REF_EVENTS_CUSTOMER = """
+SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS orphan_events,
+       CAST(COUNT(*) AS BIGINT) AS orphan_users
+FROM (SELECT user_id, COUNT(*) AS cnt FROM events
+      WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      GROUP BY user_id)
+"""
+
+
+def q_ref_orders_customer(sf_dir: str) -> pd.DataFrame:
+    od = _rename_to_key(_read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
+    cu = _rename_to_key(_read(sf_dir, "customer", columns=["c_custkey"]),
+                        "c_custkey")
+    missing = groups.anti_join_counts(od, cu, "key").to_pandas()
+    return pd.DataFrame({
+        "orphan_orders": pd.array([int(missing["left_cnt"].sum()) if len(missing)
+                                   else 0], dtype="int64"),
+        "orphan_custkeys": pd.array([len(missing)], dtype="int64")})
+
+
+SQL_REF_ORDERS_CUSTOMER = """
+SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS orphan_orders,
+       CAST(COUNT(*) AS BIGINT) AS orphan_custkeys
+FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      GROUP BY o_custkey)
+"""
+
+
+# ------------------------------------------------------- documents / text
+
+
+def q_dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    g = dedup.exact_dedup_groups(_read(sf_dir, "documents",
+                                       columns=["doc_id", "text"])).to_pandas()
+    return pd.DataFrame({
+        "total": pd.array([int(g["cnt"].sum())], dtype="int64"),
+        "distinct_texts": pd.array([len(g)], dtype="int64"),
+        "dup_rows": pd.array([int((g["cnt"] - 1).sum())], dtype="int64")})
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_rows
+FROM documents
+"""
+
+
+def q_token_stats_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: text.text_stats_batch(t).select(["doc_id", "ws_tokens",
+                                                   "re_tokens"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TOKEN_STATS_DOCUMENTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(trim(coalesce(text,'')),
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        s = text.text_stats_batch(t)
+        return pa.table({
+            "doc_id": s.column("doc_id"),
+            "punct_ratio": pc.round(s.column("punct_ratio"), 6),
+            "digit_ratio": pc.round(s.column("digit_ratio"), 6),
+            "stopword_ratio": pc.round(s.column("stopword_ratio"), 6)})
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_QUALITY_DOCUMENTS = r"""
+WITH b AS (
+  SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents
+), c AS (
+  SELECT doc_id, length(t) AS n,
+         len(regexp_extract_all(t, '[[:punct:]]')) AS punct,
+         len(regexp_extract_all(t, '[0-9]')) AS digit,
+         len(regexp_extract_all(t, '(?i)\b(the|and|of|a|to|in|is|it|that|for)\b'))
+             AS stop,
+         CASE WHEN t = '' THEN 0
+              ELSE len(regexp_split_to_array(t, '\s+')) END AS ws
+  FROM b)
+SELECT doc_id,
+       ROUND(CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0 END, 6)
+           AS punct_ratio,
+       ROUND(CASE WHEN n > 0 THEN digit / CAST(n AS DOUBLE) ELSE 0 END, 6)
+           AS digit_ratio,
+       ROUND(CASE WHEN ws > 0 THEN stop / CAST(ws AS DOUBLE) ELSE 0 END, 6)
+           AS stopword_ratio
+FROM c ORDER BY doc_id
+"""
+
+
+def q_langid_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: text.langid_batch(t).select(
+        ["doc_id", "detected_lang"]), batch_format="pyarrow").to_pandas()
+    return (out.groupby("detected_lang").size().reset_index(name="n")
+            .sort_values("detected_lang").reset_index(drop=True))
+
+
+def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: text.fingerprint_batch(t).select(
+        ["doc_id", "fingerprint"]), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(ds).to_pandas()
+    texts = {r.doc_id: r.text
+             for r in _read(sf_dir, "documents").to_pandas().itertuples()}
+    return dedup.verify_candidates(cand, texts, threshold=0.6)
+
+
+def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup.simhash_near_dups(ds, max_hamming=6).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- ANN
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack([np.asarray(x) for x in
+                        qt.column("embedding").to_pylist()])
+    out = ann.topk_cosine(_read(sf_dir, "embeddings"), queries, k=5)
+    out["score"] = out["score"].round(4)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding, q.embedding) AS raw
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rn FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, ROUND(raw, 4) AS score
+FROM r WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack([np.asarray(x) for x in
+                        qt.column("embedding").to_pylist()])
+    out = ann.lsh_topk_cosine(_read(sf_dir, "embeddings"), queries, k=5,
+                              n_planes=10, probes=2)
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+# --------------------------------------------------- flagship image table
+
+
+def _image_table_dir(sf_dir: str) -> tuple[str, str]:
+    from ..imagetable import datagen
+    n = max(2000, int(_sf(sf_dir) * 1_000_000))
+    dirty = datagen.ensure_image_table(n=n, seed=42, n_files=4)
+    clean = datagen.ensure_image_table(n=n, seed=42, n_files=4,
+                                       violations=False, drift=False)
+    return dirty, clean
+
+
+def _run_flagship(sf_dir: str):
+    import ray.data as rd
+    from .profile import build_reference_profile
+    from .validate import ValidationOptions, validate_images
+    dirty, clean = _image_table_dir(sf_dir)
+    ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
+    return validate_images(
+        rd.read_parquet(f"{dirty}/images"),
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"),
+        narrow_ds=rd.read_parquet(f"{dirty}/images",
+                                  columns=["image_id", "phash"]),
+        ref_profile=ref,
+        opts=ValidationOptions(batch_size=512, concurrency=(1, 8)))
+
+
+def q_img_summary(sf_dir: str) -> pd.DataFrame:
+    res = _run_flagship(sf_dir)
+    s = res.summary
+    return pd.DataFrame([{k: s[k] for k in
+                          ("total", "valid", "invalid", "warnings",
+                           "relationship_errors", "partitions",
+                           "partitions_passed")}])
+
+
+def q_img_violation_counts(sf_dir: str) -> pd.DataFrame:
+    res = _run_flagship(sf_dir)
+    return res.rule_counts
+
+
+def q_img_verdicts(sf_dir: str) -> pd.DataFrame:
+    res = _run_flagship(sf_dir)
+    v = res.verdicts.copy()
+    v["error_rate"] = v["error_rate"].round(6)
+    v["max_psi"] = v["max_psi"].round(3)
+    return v
+
+
+def q_img_features(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+    from ..functions.multimodal import ImageFeatures
+    dirty, _ = _image_table_dir(sf_dir)
+    out = rd.read_parquet(f"{dirty}/images").map_batches(
+        ImageFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        num_cpus=1).to_pandas()
+    agg = out.groupby("decode_ok").agg(
+        n=("image_id", "size"), mean_w=("decoded_w", "mean"),
+        mean_luma_std=("luma_std", "mean")).reset_index()
+    agg["mean_w"] = agg["mean_w"].round(4)
+    agg["mean_luma_std"] = agg["mean_luma_std"].round(4)
+    return agg
+
+
+QUERIES = {
+    # rule engine over TPC-H tables (DuckDB-verified)
+    "rules_orders": q_rules_orders,
+    "rules_lineitem": q_rules_lineitem,
+    "rules_customer": q_rules_customer,
+    "rules_events": q_rules_events,
+    # aggregation / sort / window (DuckDB-verified)
+    "q1_pricing": q1_pricing,
+    "stats_lineitem": q_stats_lineitem,
+    "events_window": q_events_window,
+    "topk_orders": q_topk_orders,
+    # uniqueness / referential shuffles (DuckDB-verified)
+    "unique_lineitem": q_unique_lineitem,
+    "unique_orders": q_unique_orders,
+    "ref_events_customer": q_ref_events_customer,
+    "ref_orders_customer": q_ref_orders_customer,
+    # documents ops (DuckDB-verified where expressible)
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "token_stats_documents": q_token_stats_documents,
+    "quality_documents": q_quality_documents,
+    "langid_documents": q_langid_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "minhash_neardup_documents": q_minhash_neardup_documents,
+    "simhash_neardup_documents": q_simhash_neardup_documents,
+    # ANN
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    # flagship image validation (rows-only: inputs are synthesized, not views)
+    "img_summary": q_img_summary,
+    "img_violation_counts": q_img_violation_counts,
+    "img_verdicts": q_img_verdicts,
+    "img_features": q_img_features,
+}
+
+ORACLES = {
+    "rules_orders": SQL_RULES_ORDERS,
+    "rules_lineitem": SQL_RULES_LINEITEM,
+    "rules_customer": SQL_RULES_CUSTOMER,
+    "rules_events": SQL_RULES_EVENTS,
+    "q1_pricing": SQL_Q1,
+    "stats_lineitem": SQL_STATS_LINEITEM,
+    "events_window": SQL_EVENTS_WINDOW,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "unique_lineitem": SQL_UNIQUE_LINEITEM,
+    "unique_orders": SQL_UNIQUE_ORDERS,
+    "ref_events_customer": SQL_REF_EVENTS_CUSTOMER,
+    "ref_orders_customer": SQL_REF_ORDERS_CUSTOMER,
+    "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
+    "quality_documents": SQL_QUALITY_DOCUMENTS,
+    "ann_topk": SQL_ANN_TOPK,
+}
