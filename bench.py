@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in a fresh local Ray session with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": .., "num_cpus": N,
+     "images_per_sec": .., "violation_rows_per_sec": ..}
+
+``--scaling``: run the same job twice in fresh subprocesses at num_cpus=8 and
+32 on the same input and report both throughputs + scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N cluster criterion).
+
+The headline is the flagship image-table validation pipeline (full rule set +
+decode + sketches + shuffle rules) over a cached synthetic table of
+``sf × 1e6`` images; table generation is excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FILES = 8
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from faang_pydantics_validation_ray.imagetable import datagen
+    from faang_pydantics_validation_ray.pipelines import queries as Q
+    from faang_pydantics_validation_ray.pipelines.profile import (
+        build_reference_profile,
+    )
+    from faang_pydantics_validation_ray.pipelines.validate import (
+        ValidationOptions, validate_images,
+    )
+
+    sf = _sf(sf_dir)
+    n = max(2000, int(sf * 1_000_000))
+    # table generation + reference profile are setup, not benchmark
+    dirty = datagen.ensure_image_table(n=n, seed=42, n_files=BENCH_FILES,
+                                       use_ray=True)
+    clean = datagen.ensure_image_table(n=n, seed=42, n_files=BENCH_FILES,
+                                       violations=False, drift=False,
+                                       use_ray=True)
+    ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(f"{dirty}/images",
+                    columns=["image_id"]).count()
+
+    opts = ValidationOptions(batch_size=512,
+                             concurrency=(2, max(4, num_cpus - 2)))
+    t0 = time.perf_counter()
+    res = validate_images(
+        rd.read_parquet(f"{dirty}/images"),
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"),
+        narrow_ds=rd.read_parquet(f"{dirty}/images",
+                                  columns=["image_id", "phash"]),
+        ref_profile=ref, opts=opts)
+    headline = time.perf_counter() - t0
+    total_rows = res.summary["total"]
+    violation_rows = int(res.rule_counts["count"].sum())
+
+    qtimes: dict[str, float] = {"flagship_validate": round(headline, 3)}
+    for qname in ("rules_lineitem", "q1_pricing", "unique_lineitem",
+                  "ref_events_customer", "dedup_exact_documents",
+                  "token_stats_documents", "ann_topk"):
+        tq = time.perf_counter()
+        Q.QUERIES[qname](sf_dir)
+        qtimes[qname] = round(time.perf_counter() - tq, 3)
+
+    out = {
+        "metric": "flagship image validation wall time (full rule set + "
+                  "decode + sketches + shuffle rules)",
+        "value": round(headline, 3), "unit": "sec",
+        "queries": qtimes, "sf": sf, "num_cpus": num_cpus,
+        "rows": total_rows,
+        "images_per_sec": round(total_rows / headline, 1),
+        "violation_rows_per_sec": round(violation_rows / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo, tput_hi = r_lo["images_per_sec"], r_hi["images_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (images/sec at num_cpus "
+                  f"{lo} vs {hi}, fresh processes, same input)",
+        "sf": r_lo["sf"],
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"images_per_sec_{lo}": tput_lo, f"images_per_sec_{hi}": tput_hi,
+        "scaling_efficiency": round(eff, 3), "target": 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

@@ -65,36 +65,49 @@ def duplicate_keys(ds: "rd.Dataset", key: str, min_count: int = 2) -> "rd.Datase
         batch_format="pyarrow")
 
 
-def salted_group_exemplars(ds: "rd.Dataset", key: str, row_key: str,
-                           n_salt: int = 16, k: int = 3,
-                           min_count: int = 2) -> "rd.Dataset":
-    """(key, cnt, exemplars[:k]) for groups of size ≥ min_count, via salted
-    two-stage grouping so hot keys (e.g. a constant-color phash bucket) are
-    split across ``n_salt`` reducer groups (SURVEY.md A5 / §4.2)."""
+def group_exemplars(ds: "rd.Dataset", key: str, row_key: str,
+                    k: int = 3, min_count: int = 2) -> pd.DataFrame:
+    """(key, cnt, exemplars[:k]) for groups of size ≥ min_count — the near-dup
+    rule (SURVEY.md A5) with explicit hot-key (skew) handling:
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(key)))
-        salt = (hash_column(t.column(row_key)) % np.uint64(n_salt)).astype(np.int32)
-        return t.append_column("salt", pa.array(salt))
+    1. exact counts via :func:`key_counts` (map-side combine: a hot key —
+       e.g. a constant-color phash bucket — contributes ONE partial row per
+       batch, never raw rows, which supersedes reducer-side salting for the
+       counting half);
+    2. the (small) ≥min_count key set is broadcast back and each batch emits
+       at most ``k`` exemplar row-keys per key present in the batch —
+       vectorized, no per-group Python, no shuffle of row payloads; a hot
+       key costs k rows per batch, combined driver-side.
 
-    def stage1(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "cnt": [len(g)],
-                             "exemplars": [list(g[row_key].astype(str).head(k))]})
+    Returns a pandas DataFrame (the result is aggregate-sized: one row per
+    colliding key)."""
+    import ray
 
-    def stage2(g: pd.DataFrame) -> pd.DataFrame:
-        ex: list[str] = []
-        for lst in g["exemplars"]:
-            ex.extend(lst)
-            if len(ex) >= k:
-                break
-        return pd.DataFrame({key: [g[key].iloc[0]], "cnt": [int(g["cnt"].sum())],
-                             "exemplars": [ex[:k]]})
+    dup = key_counts(ds, key).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count)),
+        batch_format="pyarrow").to_pandas()
+    if dup.empty:
+        return pd.DataFrame({key: [], "cnt": [], "exemplars": []})
+    keys_ref = ray.put(pa.array(dup[key].tolist()))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.groupby([key, "salt"]).map_groups(stage1, batch_format="pandas")
-    combined = partials.groupby(key).map_groups(stage2, batch_format="pandas")
-    return combined.filter(lambda row: row["cnt"] >= min_count)
+    def per_batch(t: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        m = pc.is_in(t.column(key), value_set=wanted.cast(t.column(key).type))
+        sub = t.filter(pc.fill_null(m, False)).select([key, row_key])
+        if sub.num_rows == 0:
+            return pa.table({key: pa.array([], type=t.column(key).type),
+                             row_key: pa.array([], type=t.column(row_key).type)})
+        df = sub.to_pandas().groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    ex = (partials.groupby(key)[row_key]
+          .apply(lambda s: [str(v) for v in s.head(k)]).rename("exemplars")
+          .reset_index())
+    out = dup.merge(ex, on=key, how="left")
+    out["exemplars"] = out["exemplars"].apply(
+        lambda v: v if isinstance(v, list) else [])
+    return out.reset_index(drop=True)
 
 
 def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.Dataset":

@@ -125,9 +125,9 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     empty_near = pd.DataFrame({"phash": [], "cnt": [], "exemplars": []})
     dup = (groups.duplicate_keys(narrow_ds, "image_id").to_pandas()
            if opts.check_unique else empty_dup)
-    near = (groups.salted_group_exemplars(
-        narrow_ds, key="phash", row_key="image_id", n_salt=opts.n_salt,
-        k=3, min_count=opts.neardup_min).to_pandas()
+    near = (groups.group_exemplars(
+        narrow_ds, key="phash", row_key="image_id",
+        k=3, min_count=opts.neardup_min)
         if opts.check_neardup else empty_near)
     if captions_ds is not None and opts.check_referential:
         missing = groups.anti_join_counts(

@@ -119,9 +119,8 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
             narrow = rd.read_parquet(os.path.join(input_dir, "images"),
                                      columns=["image_id", "phash"])
             dup = groups.duplicate_keys(narrow, "image_id").to_pandas()
-            near = groups.salted_group_exemplars(
-                narrow, "phash", "image_id", n_salt=opts.n_salt,
-                min_count=opts.neardup_min).to_pandas()
+            near = groups.group_exemplars(
+                narrow, "phash", "image_id", min_count=opts.neardup_min)
             cap_path = os.path.join(input_dir, "captions.parquet")
             if os.path.exists(cap_path):
                 missing = groups.anti_join_counts(
