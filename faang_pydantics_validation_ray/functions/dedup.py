@@ -215,3 +215,102 @@ def simhash_near_dups(ds, col: str = "text", id_col: str = "doc_id",
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
     return pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pandas")
+
+
+# -------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dups_exact(ds, id_col: str = "vec_id",
+                              emb_col: str = "embedding",
+                              threshold: float = 0.95) -> pd.DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
+    threshold): the corpus matrix is broadcast once (``ray.put``) and each
+    batch computes its rows × corpus block — exact, used as the verification
+    baseline; the LSH variant below is the sub-quadratic scale path."""
+    import ray
+    from .ann import _batch_matrix, _normalize
+
+    corpus = ds.select_columns([id_col, emb_col]).to_pandas()
+    full = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in corpus[emb_col]]))
+    ids_all = corpus[id_col].to_numpy()
+    ref = ray.put((full, ids_all))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        m, ids_glob = ray.get(ref)
+        e = _normalize(_batch_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        a_l, b_l, s_l = [], [], []
+        if e.shape[0]:
+            scores = e @ m.T
+            ii, jj = np.nonzero(scores >= threshold)
+            for i, j in zip(ii, jj):
+                a, b = int(ids[i]), int(ids_glob[j])
+                if a < b:
+                    a_l.append(a)
+                    b_l.append(b)
+                    s_l.append(round(float(scores[i, j]), 4))
+        return pa.table({"id_a": pa.array(a_l, type=pa.int64()),
+                         "id_b": pa.array(b_l, type=pa.int64()),
+                         "score": pa.array(s_l, type=pa.float64())})
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dups_lsh(ds, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            threshold: float = 0.95, n_planes: int = 8,
+                            seed: int = 7) -> pd.DataFrame:
+    """Sub-quadratic near-dup pairs: multi-probe hyperplane buckets → exact
+    cosine within buckets only. Approximate (recall < 1); the scale path when
+    all-pairs is impossible."""
+    from .ann import _batch_matrix, _normalize
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)
+    d = len(first[0][emb_col])
+    planes = rng.normal(size=(d, n_planes))
+    bit_w = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        e = _normalize(_batch_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sig = ((e @ planes > 0).astype(np.int64) * bit_w).sum(axis=1)
+        rows = {"bucket": [], id_col: [], "emb": []}
+        for i in range(len(ids)):
+            buckets = {int(sig[i])} | {int(sig[i]) ^ (1 << b)
+                                       for b in range(n_planes)}
+            for bkt in buckets:
+                rows["bucket"].append(bkt)
+                rows[id_col].append(int(ids[i]))
+                rows["emb"].append(e[i].tolist())
+        return pa.table({"bucket": pa.array(rows["bucket"], type=pa.int64()),
+                         id_col: pa.array(rows[id_col], type=pa.int64()),
+                         "emb": pa.array(rows["emb"],
+                                         type=pa.list_(pa.float64()))})
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        m = np.stack(g["emb"].to_numpy())
+        ids = g[id_col].to_numpy()
+        s = m @ m.T
+        ii, jj = np.nonzero(np.triu(s >= threshold, k=1))
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ii], ids[jj]),
+            "id_b": np.maximum(ids[ii], ids[jj]),
+            "score": [round(float(x), 4) for x in s[ii, jj]]})
+
+    pairs = (ds.map_batches(to_buckets, batch_format="pyarrow")
+             .groupby("bucket").map_groups(within, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    return (pairs.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

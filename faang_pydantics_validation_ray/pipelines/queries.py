@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions import ann, dedup, groups, text
+from ..functions import ann, dedup, groups, joins, text
 from ..rules import kernels
 from ..rules.spec import RuleSet
 
@@ -498,6 +498,121 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
 
 
+# --------------------------------------------- joins / distinct / export
+
+
+def q_join_consistency(sf_dir: str) -> pd.DataFrame:
+    """J2 parent-attribute consistency: join lineitem→orders and count lines
+    whose l_linestatus disagrees with a finalized order ('F')."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    bad = joins.join_mismatch_count(
+        li, od, "l_orderkey", "o_orderkey",
+        lambda t: pc.and_(pc.equal(t.column("o_orderstatus"), "F"),
+                          pc.not_equal(t.column("l_linestatus"), "F")))
+    total = joins.join_mismatch_count(
+        li, od, "l_orderkey", "o_orderkey",
+        lambda t: pc.equal(t.column("o_orderstatus"), "F"))
+    return pd.DataFrame({"mismatched_lines": pd.array([bad], dtype="int64"),
+                         "finalized_lines": pd.array([total], dtype="int64")})
+
+
+SQL_JOIN_CONSISTENCY = """
+SELECT CAST(count(*) FILTER (WHERE o_orderstatus = 'F' AND l_linestatus <> 'F')
+            AS BIGINT) AS mismatched_lines,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+           AS finalized_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """A3 distinct-set collection via Dataset.unique."""
+    vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
+        "c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+SQL_DISTINCT_MKTSEGMENT = """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+"""
+
+
+def q_top2_orders_per_status(sf_dir: str) -> pd.DataFrame:
+    """§2.6 per-group exemplar sampling: top-2 orders by price per status
+    (groupby → map_groups sort+head, deterministic tie-break)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(2)
+
+    out = (ds.groupby("o_orderstatus").map_groups(top2, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["o_orderstatus", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+SQL_TOP2_ORDERS_PER_STATUS = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 2 ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_export_valid_orders(sf_dir: str) -> pd.DataFrame:
+    """S5 clean export: rows passing the orders rule set, projected — the
+    graft of the reference's export of valid records
+    (/root/reference/organism_validator.py:36-95)."""
+    ds = _read(sf_dir, "orders")
+
+    def keep_valid(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(pc.is_in(t.column("o_orderstatus"),
+                                   value_set=pa.array(["O", "F"])), False)
+        ok = pc.and_(ok, pc.fill_null(
+            pc.and_(pc.greater_equal(t.column("o_totalprice"), 0),
+                    pc.less_equal(t.column("o_totalprice"), 450000)), False))
+        return t.filter(ok).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    out = ds.map_batches(keep_valid, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_EXPORT_VALID_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 0 AND 450000
+ORDER BY o_orderkey
+"""
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (broadcast corpus, per-batch
+    matmul); LSH variant exposed separately as the approximate scale path.
+    Threshold 0.4 here so the synthetic embeddings (max pairwise cosine
+    ≈0.51) yield rows whose scores the oracle actually compares."""
+    return dedup.embedding_near_dups_exact(
+        _read(sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    return dedup.embedding_near_dups_lsh(
+        _read(sf_dir, "embeddings"), threshold=0.95)
+
+
 # --------------------------------------------------- flagship image table
 
 
@@ -586,9 +701,16 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
-    # ANN
+    # joins / distinct / sampling / export (DuckDB-verified)
+    "join_consistency": q_join_consistency,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "top2_orders_per_status": q_top2_orders_per_status,
+    "export_valid_orders": q_export_valid_orders,
+    # ANN / embedding near-dup
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # flagship image validation (rows-only: inputs are synthesized, not views)
     "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
@@ -613,4 +735,9 @@ ORACLES = {
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
+    "join_consistency": SQL_JOIN_CONSISTENCY,
+    "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
+    "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
+    "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }
