@@ -110,6 +110,49 @@ def group_exemplars(ds: "rd.Dataset", key: str, row_key: str,
     return out.reset_index(drop=True)
 
 
+def unique_and_ref_counts(images_keys: "rd.Dataset", captions_keys: "rd.Dataset | None",
+                          key: str = "image_id", min_count: int = 2
+                          ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Fused uniqueness (A4) + referential anti-join (J1) in ONE hash shuffle.
+
+    Both rules key on the same column, so their partials share the exchange:
+    image-side batches emit (key, img_cnt, 0), caption-side batches emit
+    (key, 0, cap_cnt); one groupby-sum, then dup keys are ``img_cnt ≥
+    min_count`` and orphan refs are ``img_cnt == 0 ∧ cap_cnt > 0``. Returns
+    (duplicates(key, cnt), missing(key, left_cnt)) as aggregate-sized frames.
+    """
+    from ray.data.aggregate import Sum
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            c = _batch_key_counts(t, key)
+            zero = pa.array(np.zeros(c.num_rows, dtype=np.int64))
+            img = c.column("cnt") if side == "img" else zero
+            cap = c.column("cnt") if side == "cap" else zero
+            return pa.table({key: c.column(key), "img_cnt": img, "cap_cnt": cap})
+        return fn
+
+    tagged = images_keys.map_batches(tag("img"), batch_format="pyarrow")
+    if captions_keys is not None:
+        tagged = tagged.union(captions_keys.map_batches(tag("cap"),
+                                                        batch_format="pyarrow"))
+    summed = tagged.groupby(key).aggregate(Sum("img_cnt", alias_name="img_cnt"),
+                                           Sum("cap_cnt", alias_name="cap_cnt"))
+    interesting = summed.map_batches(
+        lambda t: t.filter(pc.or_(pc.greater_equal(t.column("img_cnt"), min_count),
+                                  pc.equal(t.column("img_cnt"), 0))),
+        batch_format="pyarrow").to_pandas()
+    if interesting.empty:
+        return (pd.DataFrame({key: [], "cnt": []}),
+                pd.DataFrame({key: [], "left_cnt": []}))
+    dup = interesting[interesting["img_cnt"] >= min_count][[key, "img_cnt"]] \
+        .rename(columns={"img_cnt": "cnt"}).reset_index(drop=True)
+    missing = interesting[(interesting["img_cnt"] == 0)
+                          & (interesting["cap_cnt"] > 0)][[key, "cap_cnt"]] \
+        .rename(columns={"cap_cnt": "left_cnt"}).reset_index(drop=True)
+    return dup, missing
+
+
 def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.Dataset":
     """Keys present in ``left`` but absent from ``right`` → (key, left_cnt).
 

@@ -106,7 +106,20 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     ``narrow_ds`` should be a column-pruned read of (image_id, phash[,
     partition_id]) — at 100 TB the shuffle rules must NOT re-read ``bytes``.
     Falls back to ``images_ds.select_columns`` (projection pushdown) if omitted.
+
+    Set ``FPV_TIMING=1`` to print per-phase wall times (perf debugging).
     """
+    import os
+    import time as _time
+    _timing = os.environ.get("FPV_TIMING")
+    _t = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[validate_images] {label}: {now - _t:.2f}s", flush=True)
+            _t = now
     # ---- pass 1: heavy fused stage → small event stream (materialized once)
     events = images_ds.map_batches(
         ValidateImagesBatch,
@@ -116,25 +129,35 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=opts.batch_size, concurrency=opts.concurrency, num_cpus=1,
     ).materialize()
+    _mark("pass1 fused stage")
 
     # ---- pass 2/3: narrow shuffle rules
     if narrow_ds is None:
         narrow_ds = images_ds.select_columns(["image_id", "phash"])
 
+    # Cross-record rules: uniqueness and the referential check share the
+    # image_id key, so they run as ONE fused hash shuffle; near-dup is its own
+    # phash shuffle + exemplar pass. (Concurrent Dataset executions from
+    # driver threads were measured strictly slower — executors contend.)
     empty_dup = pd.DataFrame({"image_id": [], "cnt": []})
     empty_near = pd.DataFrame({"phash": [], "cnt": [], "exemplars": []})
-    dup = (groups.duplicate_keys(narrow_ds, "image_id").to_pandas()
-           if opts.check_unique else empty_dup)
-    near = (groups.group_exemplars(
-        narrow_ds, key="phash", row_key="image_id",
-        k=3, min_count=opts.neardup_min)
-        if opts.check_neardup else empty_near)
-    if captions_ds is not None and opts.check_referential:
-        missing = groups.anti_join_counts(
-            captions_ds.select_columns(["image_id"]),
-            narrow_ds.select_columns(["image_id"]), "image_id").to_pandas()
+    empty_missing = pd.DataFrame({"image_id": [], "left_cnt": []})
+
+    if opts.check_unique or (captions_ds is not None and opts.check_referential):
+        dup, missing = groups.unique_and_ref_counts(
+            narrow_ds.select_columns(["image_id"]),
+            captions_ds.select_columns(["image_id"])
+            if captions_ds is not None and opts.check_referential else None,
+            key="image_id", min_count=2)
+        if not opts.check_unique:
+            dup = empty_dup
     else:
-        missing = pd.DataFrame({"image_id": [], "left_cnt": []})
+        dup, missing = empty_dup, empty_missing
+    _mark("unique + referential (fused shuffle)")
+    near = (groups.group_exemplars(narrow_ds, key="phash", row_key="image_id",
+                                   k=3, min_count=opts.neardup_min)
+            if opts.check_neardup else empty_near)
+    _mark("neardup")
 
     # ---- assemble violations
     viol_parts = [
@@ -156,6 +179,8 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                     missing["left_cnt"].astype(int).tolist()),
     ]
 
+    _mark("violations assembly")
+
     # ---- verdict partials
     stats = _filter_kind(events, "batch_stat").to_pandas()
     per_part = (stats.groupby("partition_id")[["rows", "n_error_rows",
@@ -176,6 +201,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
           .select_columns(["partition_id", "col", "sketch"])
           .groupby(["partition_id", "col"])
           .map_groups(_merge_sketches, batch_format="pandas").to_pandas())
+    _mark("verdicts + sketch merge")
 
     prof_rows, drift_viol = [], []
     psi_by_part: dict[int, float] = {}
