@@ -71,14 +71,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.read_parquet(f"{dirty}/images",
                     columns=["image_id"]).count()
 
-    opts = ValidationOptions(batch_size=512,
-                             concurrency=(2, max(4, num_cpus - 2)))
+    opts = ValidationOptions(batch_size=512, concurrency=max(4, num_cpus - 2))
     t0 = time.perf_counter()
     res = validate_images(
-        rd.read_parquet(f"{dirty}/images"),
-        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"),
+        rd.read_parquet(f"{dirty}/images", override_num_blocks=4 * num_cpus),
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet",
+                                    override_num_blocks=num_cpus),
         narrow_ds=rd.read_parquet(f"{dirty}/images",
-                                  columns=["image_id", "phash"]),
+                                  columns=["image_id", "phash"],
+                                  override_num_blocks=num_cpus),
         ref_profile=ref, opts=opts)
     headline = time.perf_counter() - t0
     total_rows = res.summary["total"]

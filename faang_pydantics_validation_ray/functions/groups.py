@@ -81,11 +81,18 @@ def group_exemplars(ds: "rd.Dataset", key: str, row_key: str,
 
     Returns a pandas DataFrame (the result is aggregate-sized: one row per
     colliding key)."""
-    import ray
-
     dup = key_counts(ds, key).map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("cnt"), min_count)),
         batch_format="pyarrow").to_pandas()
+    return collect_exemplars(ds, key, row_key, dup, k)
+
+
+def collect_exemplars(ds: "rd.Dataset", key: str, row_key: str,
+                      dup: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+    """Attach up to ``k`` exemplar row-keys to precomputed dup-key counts via
+    a broadcast key-set filter pass (see :func:`group_exemplars` docstring)."""
+    import ray
+
     if dup.empty:
         return pd.DataFrame({key: [], "cnt": [], "exemplars": []})
     keys_ref = ray.put(pa.array(dup[key].tolist()))
@@ -110,47 +117,79 @@ def group_exemplars(ds: "rd.Dataset", key: str, row_key: str,
     return out.reset_index(drop=True)
 
 
-def unique_and_ref_counts(images_keys: "rd.Dataset", captions_keys: "rd.Dataset | None",
-                          key: str = "image_id", min_count: int = 2
-                          ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Fused uniqueness (A4) + referential anti-join (J1) in ONE hash shuffle.
+def fused_cross_record_counts(narrow: "rd.Dataset",
+                              captions_keys: "rd.Dataset | None",
+                              id_col: str = "image_id",
+                              phash_col: str = "phash",
+                              min_count: int = 2
+                              ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """ALL counting cross-record rules in ONE hash shuffle (SURVEY.md §4.2
+    "pick ONE partitioning key and reuse it"): uniqueness (A4), referential
+    anti-join (J1) and near-dup phash cardinality (A5) tag their per-batch
+    combined partials into disjoint key namespaces (``i:<image_id>``,
+    ``p:<phash>``) and share a single groupby-sum exchange. A hot key still
+    contributes one partial row per batch (map-side combine).
 
-    Both rules key on the same column, so their partials share the exchange:
-    image-side batches emit (key, img_cnt, 0), caption-side batches emit
-    (key, 0, cap_cnt); one groupby-sum, then dup keys are ``img_cnt ≥
-    min_count`` and orphan refs are ``img_cnt == 0 ∧ cap_cnt > 0``. Returns
-    (duplicates(key, cnt), missing(key, left_cnt)) as aggregate-sized frames.
+    Returns (duplicates(image_id, cnt), missing(image_id, left_cnt),
+    neardup(phash, cnt)) — aggregate-sized pandas frames.
     """
     from ray.data.aggregate import Sum
 
-    def tag(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            c = _batch_key_counts(t, key)
-            zero = pa.array(np.zeros(c.num_rows, dtype=np.int64))
-            img = c.column("cnt") if side == "img" else zero
-            cap = c.column("cnt") if side == "cap" else zero
-            return pa.table({key: c.column(key), "img_cnt": img, "cap_cnt": cap})
-        return fn
+    def img_partials(t: pa.Table) -> pa.Table:
+        ic = _batch_key_counts(t, id_col)
+        pcnt = _batch_key_counts(t, phash_col)
+        keys = pa.concat_arrays([
+            pc.binary_join_element_wise(
+                pa.array(["i"] * ic.num_rows),
+                pc.cast(ic.column(id_col), pa.string()).combine_chunks(), ":"),
+            pc.binary_join_element_wise(
+                pa.array(["p"] * pcnt.num_rows),
+                pc.cast(pcnt.column(phash_col), pa.string()).combine_chunks(), ":"),
+        ])
+        cnts = pa.concat_arrays([ic.column("cnt").combine_chunks(),
+                                 pcnt.column("cnt").combine_chunks()])
+        zero = pa.array(np.zeros(len(keys), dtype=np.int64))
+        return pa.table({"key": keys, "own_cnt": cnts, "cap_cnt": zero})
 
-    tagged = images_keys.map_batches(tag("img"), batch_format="pyarrow")
+    def cap_partials(t: pa.Table) -> pa.Table:
+        c = _batch_key_counts(t, id_col)
+        keys = pc.binary_join_element_wise(
+            pa.array(["i"] * c.num_rows),
+            pc.cast(c.column(id_col), pa.string()).combine_chunks(), ":")
+        zero = pa.array(np.zeros(c.num_rows, dtype=np.int64))
+        return pa.table({"key": keys, "own_cnt": zero,
+                         "cap_cnt": c.column("cnt")})
+
+    tagged = narrow.map_batches(img_partials, batch_format="pyarrow")
     if captions_keys is not None:
-        tagged = tagged.union(captions_keys.map_batches(tag("cap"),
+        tagged = tagged.union(captions_keys.map_batches(cap_partials,
                                                         batch_format="pyarrow"))
-    summed = tagged.groupby(key).aggregate(Sum("img_cnt", alias_name="img_cnt"),
-                                           Sum("cap_cnt", alias_name="cap_cnt"))
+    summed = tagged.groupby("key").aggregate(Sum("own_cnt", alias_name="own_cnt"),
+                                             Sum("cap_cnt", alias_name="cap_cnt"))
     interesting = summed.map_batches(
-        lambda t: t.filter(pc.or_(pc.greater_equal(t.column("img_cnt"), min_count),
-                                  pc.equal(t.column("img_cnt"), 0))),
+        lambda t: t.filter(pc.or_(pc.greater_equal(t.column("own_cnt"), min_count),
+                                  pc.equal(t.column("own_cnt"), 0))),
         batch_format="pyarrow").to_pandas()
+    empty = (pd.DataFrame({id_col: [], "cnt": []}),
+             pd.DataFrame({id_col: [], "left_cnt": []}),
+             pd.DataFrame({phash_col: [], "cnt": []}))
     if interesting.empty:
-        return (pd.DataFrame({key: [], "cnt": []}),
-                pd.DataFrame({key: [], "left_cnt": []}))
-    dup = interesting[interesting["img_cnt"] >= min_count][[key, "img_cnt"]] \
-        .rename(columns={"img_cnt": "cnt"}).reset_index(drop=True)
-    missing = interesting[(interesting["img_cnt"] == 0)
-                          & (interesting["cap_cnt"] > 0)][[key, "cap_cnt"]] \
-        .rename(columns={"cap_cnt": "left_cnt"}).reset_index(drop=True)
-    return dup, missing
+        return empty
+    ns = interesting["key"].str.slice(0, 2)
+    raw = interesting["key"].str.slice(2)
+    img = interesting[ns == "i:"]
+    ph = interesting[ns == "p:"]
+    dup = (img[img["own_cnt"] >= min_count]
+           .assign(**{id_col: raw, "cnt": lambda d: d["own_cnt"]})
+           [[id_col, "cnt"]].reset_index(drop=True))
+    missing = (img[(img["own_cnt"] == 0) & (img["cap_cnt"] > 0)]
+               .assign(**{id_col: raw, "left_cnt": lambda d: d["cap_cnt"]})
+               [[id_col, "left_cnt"]].reset_index(drop=True))
+    near = ph[ph["own_cnt"] >= min_count].copy()
+    near[phash_col] = pd.to_numeric(raw.loc[near.index]).astype("int64")
+    near["cnt"] = near["own_cnt"]
+    near = near[[phash_col, "cnt"]].reset_index(drop=True)
+    return dup, missing, near
 
 
 def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.Dataset":

@@ -633,11 +633,13 @@ def _run_flagship(sf_dir: str):
     ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
     return validate_images(
         rd.read_parquet(f"{dirty}/images"),
-        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"),
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet",
+                                    override_num_blocks=16),
         narrow_ds=rd.read_parquet(f"{dirty}/images",
-                                  columns=["image_id", "phash"]),
+                                  columns=["image_id", "phash"],
+                                  override_num_blocks=16),
         ref_profile=ref,
-        opts=ValidationOptions(batch_size=512, concurrency=(1, 8)))
+        opts=ValidationOptions(batch_size=512, concurrency=8))
 
 
 def q_img_summary(sf_dir: str) -> pd.DataFrame:

@@ -35,7 +35,9 @@ VIOLATION_SCHEMA = pa.schema([
 @dataclass
 class ValidationOptions:
     batch_size: int = 512          # small batches: binary rows are heavy (SURVEY §4.2)
-    concurrency: Any = (1, 8)      # actor pool size for the fused stage
+    # actor pool size for the fused stage; a FIXED pool starts all actors at
+    # once (autoscaling ramps too slowly for short jobs)
+    concurrency: Any = 8
     exemplar_cap: int = 50         # per (rule, severity) per batch
     psnr_min: float = 40.0
     decode: bool = True
@@ -128,36 +130,43 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                                    seed=opts.seed),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=opts.batch_size, concurrency=opts.concurrency, num_cpus=1,
-    ).materialize()
+    ).repartition(16).materialize()
+    # repartition(16): the event stream is tiny but inherits one block per
+    # upstream task — coalescing makes every downstream filter/groupby cheap
     _mark("pass1 fused stage")
 
     # ---- pass 2/3: narrow shuffle rules
     if narrow_ds is None:
         narrow_ds = images_ds.select_columns(["image_id", "phash"])
 
-    # Cross-record rules: uniqueness and the referential check share the
-    # image_id key, so they run as ONE fused hash shuffle; near-dup is its own
-    # phash shuffle + exemplar pass. (Concurrent Dataset executions from
-    # driver threads were measured strictly slower — executors contend.)
+    # Cross-record rules: ALL counting rules (uniqueness, referential,
+    # near-dup cardinality) share ONE hash shuffle via key-namespace tagging;
+    # the near-dup exemplar pass is map-only over a broadcast dup-key set.
+    # (Concurrent Dataset executions from driver threads were measured
+    # strictly slower — executors contend.)
     empty_dup = pd.DataFrame({"image_id": [], "cnt": []})
     empty_near = pd.DataFrame({"phash": [], "cnt": [], "exemplars": []})
     empty_missing = pd.DataFrame({"image_id": [], "left_cnt": []})
 
-    if opts.check_unique or (captions_ds is not None and opts.check_referential):
-        dup, missing = groups.unique_and_ref_counts(
-            narrow_ds.select_columns(["image_id"]),
+    if opts.check_unique or opts.check_neardup or \
+            (captions_ds is not None and opts.check_referential):
+        dup, missing, near_cnt = groups.fused_cross_record_counts(
+            narrow_ds,
             captions_ds.select_columns(["image_id"])
             if captions_ds is not None and opts.check_referential else None,
-            key="image_id", min_count=2)
+            min_count=2)
         if not opts.check_unique:
             dup = empty_dup
+        _mark("fused cross-record count shuffle")
+        if opts.check_neardup:
+            near_cnt = near_cnt[near_cnt["cnt"] >= opts.neardup_min]
+            near = groups.collect_exemplars(
+                narrow_ds, "phash", "image_id", near_cnt, k=3)
+        else:
+            near = empty_near
+        _mark("neardup exemplars")
     else:
-        dup, missing = empty_dup, empty_missing
-    _mark("unique + referential (fused shuffle)")
-    near = (groups.group_exemplars(narrow_ds, key="phash", row_key="image_id",
-                                   k=3, min_count=opts.neardup_min)
-            if opts.check_neardup else empty_near)
-    _mark("neardup")
+        dup, missing, near = empty_dup, empty_missing, empty_near
 
     # ---- assemble violations
     viol_parts = [
