@@ -270,6 +270,8 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
     row) — the scalable contract (SURVEY.md §7 'violation-row explosion').
     Drift verdicts are partition-level and asserted separately.
     """
+    from ..stages.decode import PHASH_HAMMING_TOL
+
     out: list[tuple[str, str | None, str]] = []
     id_counts: dict[str, int] = {}
     phash_counts: dict[int, int] = {}
@@ -278,18 +280,26 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
         b = p.bucket
         if p.image_id is not None:
             id_counts[p.image_id] = id_counts.get(p.image_id, 0) + 1
-        row = _materialize(p, seed) if b in (B_NEARDUP_A, B_NEARDUP_PAIR) or \
-            (i % 20 == 19 and b not in BUCKETS) else None
-        ph = (row["phash"] if row is not None
-              else (None if p.phash_null or p.bytes_null and p.phash_override is None
-                    else p.phash_override))
         # track every non-null phash for collision-exact neardup expectation
-        if not p.phash_null:
-            if p.phash_override is not None:
-                phash_counts[p.phash_override] = phash_counts.get(p.phash_override, 0) + 1
+        if not p.phash_null and p.phash_override is not None:
+            phash_counts[p.phash_override] = phash_counts.get(p.phash_override, 0) + 1
             # real phashes are effectively unique; tests at small n verify no
             # accidental collisions via the engine output itself
         iid = p.image_id
+        # phash-consistency expectation, computed exactly like the engine:
+        # decode the materialized bytes, recompute the perceptual hash,
+        # compare to the claimed column value (skip psnr-failing rows)
+        if (not p.bytes_null and not p.phash_null and not p.corrupt
+                and b != B_PSNR):
+            row = _materialize(p, seed)
+            try:
+                _, _, _, px = codec.decode(row["bytes"])
+                dist = bin((codec.phash64(px) ^ row["phash"])
+                           & 0xFFFFFFFFFFFFFFFF).count("1")
+                if dist > PHASH_HAMMING_TOL:
+                    out.append(("xfield.phash_consistency", iid, "warning"))
+            except codec.DecodeError:
+                pass
         if b == B_ID_NULL:
             out.append(("required.image_id", None, "error"))
         if b == B_BYTES_NULL:

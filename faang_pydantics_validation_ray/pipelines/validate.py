@@ -82,8 +82,16 @@ def _filter_kind(events, kind: str):
 def _collect_table(ds, schema: pa.Schema) -> pa.Table:
     batches = [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
                if b.num_rows]
-    return (pa.concat_tables(batches) if batches
-            else schema.empty_table())
+    if not batches:
+        return schema.empty_table()
+    out = pa.concat_tables(batches)
+    # deep-copy into driver heap: iter_batches tables are zero-copy views of
+    # object-store memory — holding them pins blocks (and successive runs
+    # were measured to degrade 2-3× until released)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, out.schema) as w:
+        w.write_table(out)
+    return pa.ipc.open_stream(sink.getvalue()).read_all()
 
 
 def _viol_table(rule_id, keys, severity, field, message, counts,
@@ -115,13 +123,15 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     import time as _time
     _timing = os.environ.get("FPV_TIMING")
     _t = _time.perf_counter()
+    phase_sec: dict[str, float] = {}
 
     def _mark(label: str) -> None:
         nonlocal _t
+        now = _time.perf_counter()
+        phase_sec[label] = round(now - _t, 3)
         if _timing:
-            now = _time.perf_counter()
             print(f"[validate_images] {label}: {now - _t:.2f}s", flush=True)
-            _t = now
+        _t = now
     # ---- pass 1: heavy fused stage → small event stream (materialized once)
     events = images_ds.map_batches(
         ValidateImagesBatch,
@@ -282,6 +292,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         "partitions": int(len(verd)),
         "partitions_passed": int(verd["pass"].sum()),
         "drift_partitions": sorted({int(p) for _, _, p in drift_viol}),
+        "phase_sec": phase_sec,
     }
     return ValidationResult(violations=violations, verdicts=verd,
                             rule_counts=rc_df, profile=profile_df, summary=summary)

@@ -14,6 +14,10 @@ north_star):
   evaluated for rows whose claimed dims pass ``range.dims`` (no double-flag)
 - ``pixel.psnr``         — lossy containers must reconstruct the reference
   pixels at ≥ ``psnr_min`` dB (error)
+- ``xfield.phash_consistency`` — the claimed ``phash`` must be within
+  ``PHASH_HAMMING_TOL`` bits of the hash recomputed from the decoded pixels
+  (warning; skipped for rows already failing PSNR, whose pixels are
+  legitimately degraded)
 
 ``reference_pixel_fn(image_id, w, h) → ndarray`` abstracts the reference
 pixel store; the sandbox default regenerates the deterministic synthetic
@@ -30,6 +34,12 @@ import pyarrow as pa
 from ..imagetable import codec
 from ..rules.image_rules import range_valid_mask
 from ..rules.spec import Finding
+
+
+# max Hamming distance between claimed and recomputed perceptual hash before
+# the consistency warning fires (default-quality lossy re-encoding flips only
+# a few near-median bits; unrelated hashes differ by ~32)
+PHASH_HAMMING_TOL = 8
 
 
 class DecodeChecker:
@@ -49,6 +59,7 @@ class DecodeChecker:
         magic_bad = np.zeros(n, dtype=bool)
         dims_bad = np.zeros(n, dtype=bool)
         psnr_bad = np.zeros(n, dtype=bool)
+        phash_bad = np.zeros(n, dtype=bool)
 
         range_ok = range_valid_mask(t)
         bufs = t.column("bytes").to_pylist()
@@ -56,6 +67,8 @@ class DecodeChecker:
         ws = t.column("w").to_pylist()
         hs = t.column("h").to_pylist()
         fmts = t.column("fmt").to_pylist()
+        phashes = t.column("phash").to_pylist() if "phash" in t.column_names \
+            else [None] * n
 
         for i in range(n):
             buf = bufs[i]
@@ -78,6 +91,11 @@ class DecodeChecker:
                 ref = self.ref_fn(ids[i], wd, hd)
                 if codec.psnr(ref, px) < self.psnr_min:
                     psnr_bad[i] = True
+            if phashes[i] is not None and not psnr_bad[i]:
+                dist = bin((codec.phash64(px) ^ phashes[i])
+                           & 0xFFFFFFFFFFFFFFFF).count("1")
+                if dist > PHASH_HAMMING_TOL:
+                    phash_bad[i] = True
 
         return {
             "pixel.decode:bytes": [(decode_fail, "error", "bytes failed to decode")],
@@ -87,4 +105,8 @@ class DecodeChecker:
                                      "claimed (w,h) does not match decoded dimensions")],
             "pixel.psnr:bytes": [(psnr_bad, "error",
                                   f"decoded pixels below {self.psnr_min}dB PSNR vs reference")],
+            "xfield.phash_consistency:phash": [
+                (phash_bad, "warning",
+                 f"claimed phash differs from decoded-pixel hash by more than "
+                 f"{PHASH_HAMMING_TOL} bits")],
         }
