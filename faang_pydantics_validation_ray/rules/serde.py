@@ -1,0 +1,73 @@
+"""Declarative (JSON-serializable) rule specs → RuleSet.
+
+Graft of the reference's JSON-Schema rulesets
+(/root/reference/rulesets-json/*.json, fetched via constants.py:4-70 and
+compiled into Pydantic models): here a ruleset is plain data — a dict with
+``key_column``, ``sentinel_levels`` and a list of rule specs — so pipelines
+can be config-driven and rulesets versioned/stored beside the data
+(SURVEY.md §2.8).
+
+Supported kinds map 1:1 onto the kernel factories in :mod:`.kernels`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from . import kernels
+from .spec import RuleSet
+
+_KINDS = {
+    "required": lambda s: kernels.required(s["field"]),
+    "recommended": lambda s: kernels.recommended(s["field"]),
+    "enum": lambda s: kernels.enum_in(s["field"], s["allowed"],
+                                      s.get("severity", "error")),
+    "regex": lambda s: kernels.regex(s["field"], s["pattern"],
+                                     s.get("severity", "error"),
+                                     s.get("message")),
+    "url_prefix": lambda s: kernels.url_prefix(
+        s["field"], tuple(s.get("prefixes", ("http://", "https://"))),
+        s.get("severity", "error")),
+    "range": lambda s: kernels.numeric_range(s["field"], s.get("lo"),
+                                             s.get("hi"),
+                                             s.get("severity", "error")),
+    "castable": lambda s: kernels.castable(s["field"], _dtype(s["target"]),
+                                           s.get("severity", "error")),
+    "fields_equal": lambda s: kernels.fields_equal(s["field"], s["other"],
+                                                   s.get("severity", "error")),
+    "both_or_neither": lambda s: kernels.both_or_neither(
+        s["field"], s["other"], s.get("severity", "error")),
+    "mapped_consistent": lambda s: kernels.mapped_consistent(
+        s["field"], s["other"], s["mapping"], s.get("severity", "error")),
+    "conditional_required": lambda s: kernels.conditional_required(
+        s["cond_field"], s["cond_values"], s["field"],
+        s.get("severity", "error")),
+    "list_cardinality": lambda s: kernels.list_cardinality(
+        s["field"], s.get("lo"), s.get("hi"), s.get("severity", "error")),
+}
+
+
+def _dtype(name: str):
+    import pyarrow as pa
+    return {"int64": pa.int64(), "int32": pa.int32(), "float64": pa.float64(),
+            "string": pa.string()}[name]
+
+
+def ruleset_from_dict(cfg: dict[str, Any]) -> RuleSet:
+    rs = RuleSet(key_column=cfg["key_column"],
+                 sentinel_levels=dict(cfg.get("sentinel_levels", {})))
+    for spec in cfg["rules"]:
+        kind = spec["kind"]
+        if kind not in _KINDS:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        rule_id = spec.get("rule_id") or f"{kind}.{spec['field']}"
+        rs.add(rule_id, spec["field"], _KINDS[kind](spec))
+    return rs
+
+
+def ruleset_from_json(text_or_path: str) -> RuleSet:
+    if text_or_path.lstrip().startswith("{"):
+        return ruleset_from_dict(json.loads(text_or_path))
+    with open(text_or_path) as fh:
+        return ruleset_from_dict(json.load(fh))
