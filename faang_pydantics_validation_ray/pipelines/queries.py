@@ -647,7 +647,7 @@ def _run_flagship(sf_dir: str):
                                   columns=["image_id", "phash"],
                                   override_num_blocks=16),
         ref_profile=ref,
-        opts=ValidationOptions(batch_size=512, concurrency=8))
+        opts=ValidationOptions(batch_size=512))  # pool sized from the session
     return _FLAGSHIP_CACHE[sf_dir]
 
 

@@ -35,9 +35,12 @@ VIOLATION_SCHEMA = pa.schema([
 @dataclass
 class ValidationOptions:
     batch_size: int = 512          # small batches: binary rows are heavy (SURVEY §4.2)
-    # actor pool size for the fused stage; a FIXED pool starts all actors at
-    # once (autoscaling ramps too slowly for short jobs)
-    concurrency: Any = 8
+    # actor pool size for the fused stage. None → sized from the session
+    # (cpus - 2, min 2) at run time; a FIXED pool starts all actors at once
+    # (autoscaling ramps too slowly for short jobs), but must leave CPUs for
+    # the upstream read or the pipeline starves (a full-size pool on a small
+    # session was measured to stall the read stage)
+    concurrency: Any = None
     exemplar_cap: int = 50         # per (rule, severity) per batch
     psnr_min: float = 40.0
     decode: bool = True
@@ -132,6 +135,12 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         if _timing:
             print(f"[validate_images] {label}: {now - _t:.2f}s", flush=True)
         _t = now
+    concurrency = opts.concurrency
+    if concurrency is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus - 2)
+
     # ---- pass 1: heavy fused stage → small event stream (materialized once)
     events = images_ds.map_batches(
         ValidateImagesBatch,
@@ -139,7 +148,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                                    psnr_min=opts.psnr_min, decode=opts.decode,
                                    seed=opts.seed),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=opts.batch_size, concurrency=opts.concurrency, num_cpus=1,
+        batch_size=opts.batch_size, concurrency=concurrency, num_cpus=1,
     ).repartition(16).materialize()
     # repartition(16): the event stream is tiny but inherits one block per
     # upstream task — coalescing makes every downstream filter/groupby cheap
@@ -251,6 +260,10 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     violations = pa.concat_tables([v for v in viol_parts if v.num_rows],
                                   promote_options="default") \
         if any(v.num_rows for v in viol_parts) else _viol_table("", [], "", "", "", [])
+    # deterministic output order (streaming execution order is not): required
+    # for byte-identical resume (tests/test_checkpoint.py)
+    violations = violations.sort_by([(f.name, "ascending")
+                                     for f in VIOLATION_SCHEMA])
 
     # ---- rule counts (exact)
     rc = _filter_kind(events, "rule_count").to_pandas()
