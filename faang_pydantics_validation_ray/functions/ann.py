@@ -142,3 +142,85 @@ def lsh_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
            .groupby("query_id").head(k).reset_index(drop=True))
     out["score"] = out["score"].round(6)
     return out
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means (coarse quantizer training); sample is
+    expected to be a driver-side subsample of the corpus."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+                    n_probe: int = 4, sample_size: int = 2048,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    seed: int = 11) -> pd.DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (trained on a driver-side
+    sample) partitions the corpus into ``n_lists`` inverted lists; each query
+    scores only the ``n_probe`` nearest lists. The scale path alongside the
+    LSH variant: at cluster scale the assignment is a groupby shuffle writing
+    list-partitioned parquet once, amortized across query batches.
+
+    Here both phases stream: one map_batches pass assigns + scores each batch
+    against only the queries probing that batch's lists (no materialized
+    inverted index needed for a single query set).
+    """
+    import ray
+    rng = np.random.default_rng(seed)
+    sample = ds.random_sample(min(1.0, sample_size / max(1, ds.count())),
+                              seed=seed).to_pandas()
+    smat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in sample[emb_col]]))
+    centroids = _kmeans(smat, n_lists, seed=seed)
+    cn = _normalize(centroids)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # which lists each query probes
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]      # (q, n_probe)
+    probe_of_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            probe_of_list.setdefault(int(li), []).append(qi)
+    state = ray.put((cn, qn, probe_of_list))
+
+    def score(t: pa.Table) -> pa.Table:
+        c, q, pol = ray.get(state)
+        e = _normalize(_batch_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        if e.shape[0]:
+            assign = (e @ c.T).argmax(axis=1)
+            for li in np.unique(assign):
+                qids = pol.get(int(li), ())
+                if not qids:
+                    continue
+                rows = np.flatnonzero(assign == li)
+                sub = e[rows] @ q[qids].T           # (rows, probing queries)
+                for jj, qi in enumerate(qids):
+                    out_q.extend([qi] * len(rows))
+                    out_v.extend(ids[rows].tolist())
+                    out_s.extend(sub[:, jj].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         id_col: pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return partials
+    out = (partials.sort_values(["query_id", "score", id_col],
+                                ascending=[True, False, True])
+           .groupby("query_id").head(k).reset_index(drop=True))
+    out["score"] = out["score"].round(6)
+    return out

@@ -314,3 +314,38 @@ def embedding_near_dups_lsh(ds, id_col: str = "vec_id",
                              "score": pd.array([], dtype="float64")})
     return (pairs.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# --------------------------------------------------------- cluster resolution
+
+
+def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
+                  id_b: str = "id_b") -> pd.DataFrame:
+    """Union-find over verified near-dup pairs → (id, cluster_id, keep) with
+    ``keep`` marking the smallest id per cluster (deterministic survivor) —
+    completes the dedup pipeline: candidates → verify → clusters → survivors.
+
+    Driver-side union-find: the verified-pair set is sparse (bounded by true
+    near-dups, not by corpus size). For adversarial inputs with huge
+    near-dup components, run iterative min-label propagation with a groupby
+    per round instead (see functions/groups.py patterns)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            ra, rb = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[rb] = ra
+    ids = sorted({*pairs[id_a], *pairs[id_b]}, key=str)
+    roots = {i: find(i) for i in ids}
+    return pd.DataFrame({
+        "id": ids,
+        "cluster_id": [roots[i] for i in ids],
+        "keep": [i == roots[i] for i in ids],
+    })

@@ -613,6 +613,38 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "embeddings"), threshold=0.95)
 
 
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN (k-means coarse quantizer, n_probe lists per query)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack([np.asarray(x) for x in qt.column("embedding").to_pylist()])
+    out = ann.ivf_topk_cosine(_read(sf_dir, "embeddings"), queries, k=5)
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
+    """Full dedup chain: MinHash-LSH candidates → exact Jaccard verify →
+    union-find clusters → survivor marking."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(ds).to_pandas()
+    texts = {r.doc_id: r.text
+             for r in _read(sf_dir, "documents").to_pandas().itertuples()}
+    pairs = dedup.verify_candidates(cand, texts, threshold=0.6)
+    if pairs.empty:
+        return pd.DataFrame({"id": [], "cluster_id": [], "keep": []})
+    return dedup.cluster_pairs(pairs)
+
+
+def q_img_violation_exemplars(sf_dir: str) -> pd.DataFrame:
+    """§2.6 sampled violation exemplars per rule (first 3 keys per rule)."""
+    res = _run_flagship(sf_dir)
+    v = res.violations.to_pandas()
+    return (v.sort_values(["rule_id", "image_id"])
+            .groupby("rule_id").head(3)
+            [["rule_id", "severity", "image_id"]].reset_index(drop=True))
+
+
 # --------------------------------------------------- flagship image table
 
 
@@ -720,13 +752,16 @@ QUERIES = {
     # ANN / embedding near-dup
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "neardup_clusters_documents": q_neardup_clusters_documents,
     # flagship image validation (rows-only: inputs are synthesized, not views)
     "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
     "img_verdicts": q_img_verdicts,
     "img_features": q_img_features,
+    "img_violation_exemplars": q_img_violation_exemplars,
 }
 
 ORACLES = {

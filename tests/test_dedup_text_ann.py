@@ -178,3 +178,31 @@ def test_audio_stub_contract():
     out = fake(t)
     assert out.schema.equals(multimodal.AudioFrameSample.OUTPUT_SCHEMA)
     assert out.num_rows == 2
+
+
+def test_ivf_topk(ray_session):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = ds.to_pandas()
+    queries = np.stack(emb.embedding.iloc[:5].to_numpy())
+    exact = ann.topk_cosine(ds, queries, k=5)
+    approx = ann.ivf_topk_cosine(ds, queries, k=5, n_lists=8, n_probe=3)
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        assert emb.vec_id.iloc[qid] in a  # own vector found
+        hits += len(e & a)
+    assert hits / 25 >= 0.6
+
+
+def test_cluster_pairs():
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 11, 2],
+                          "id_b": [2, 3, 11, 12, 1]})
+    out = dedup.cluster_pairs(pairs)
+    by_id = dict(zip(out.id, out.cluster_id))
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[10] == by_id[11] == by_id[12]
+    assert by_id[1] != by_id[10]
+    keeps = set(out[out.keep].id)
+    assert keeps == {1, 10}
