@@ -636,6 +636,25 @@ def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     return dedup.cluster_pairs(pairs)
 
 
+def q_img_export_clean(sf_dir: str) -> pd.DataFrame:
+    """S5 clean export on the flagship table: valid rows projected to nested
+    export docs; returns summary counts (payloads stay distributed)."""
+    import ray.data as rd
+    from .export import export_clean_images
+    dirty, _ = _image_table_dir(sf_dir)
+    res = _run_flagship(sf_dir)
+    bad = [k for k, r in zip(res.violations.column("image_id").to_pylist(),
+                             res.violations.column("rule_id").to_pylist())
+           if r in ("unique.image_id",) and k is not None]
+    ds = export_clean_images(
+        rd.read_parquet(f"{dirty}/images", override_num_blocks=16),
+        bad_keys=bad)
+    n = ds.count()
+    return pd.DataFrame({"exported_rows": pd.array([n], dtype="int64"),
+                         "source_rows": pd.array([res.summary["total"]],
+                                                 dtype="int64")})
+
+
 def q_img_violation_exemplars(sf_dir: str) -> pd.DataFrame:
     """§2.6 sampled violation exemplars per rule (first 3 keys per rule)."""
     res = _run_flagship(sf_dir)
@@ -762,6 +781,7 @@ QUERIES = {
     "img_verdicts": q_img_verdicts,
     "img_features": q_img_features,
     "img_violation_exemplars": q_img_violation_exemplars,
+    "img_export_clean": q_img_export_clean,
 }
 
 ORACLES = {

@@ -50,3 +50,32 @@ def test_report_renders(ray_session):
     rep = render_report(res)
     assert "VALIDATION REPORT" in rep and "unique.image_id" in rep
     assert "part=0" in rep and ("PASS" in rep or "FAIL" in rep)
+
+
+def test_export_clean_images(ray_session, tmp_path):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.imagetable import codec, datagen
+    from faang_pydantics_validation_ray.pipelines.export import export_clean_images
+    n = 1000
+    d = datagen.ensure_image_table(n=n, seed=42, n_files=2)
+    out = export_clean_images(rd.read_parquet(f"{d}/images"),
+                              bad_keys=[datagen.HOT_DUP_ID],
+                              out_dir=str(tmp_path / "export"),
+                              concurrency=2).to_pandas()
+    assert {"image_id", "characteristics", "payload"} <= set(out.columns)
+    # all error rows removed (≈1.1% seeded), hot dup excluded explicitly
+    assert n * 0.95 < len(out) < n
+    assert datagen.HOT_DUP_ID not in set(out.image_id)
+    # per-row invariant (input_hint): caption equality + decoded-pixel
+    # fidelity between source row and exported doc
+    src = rd.read_parquet(f"{d}/images").to_pandas().set_index("image_id")
+    sample = out.head(20)
+    for _, row in sample.iterrows():
+        s = src.loc[row.image_id]
+        assert row.characteristics["caption"] == s.caption
+        _, _, _, px_out = codec.decode(row.payload)
+        _, _, _, px_src = codec.decode(s.bytes)
+        assert codec.psnr(px_src, px_out) == float("inf")  # byte-preserving export
+    import os
+    assert any(p.startswith("partition_id=") for p in
+               os.listdir(tmp_path / "export"))
