@@ -68,8 +68,11 @@ def test_export_clean_images(ray_session, tmp_path):
     assert datagen.HOT_DUP_ID not in set(out.image_id)
     # per-row invariant (input_hint): caption equality + decoded-pixel
     # fidelity between source row and exported doc
-    src = rd.read_parquet(f"{d}/images").to_pandas().set_index("image_id")
-    sample = out.head(20)
+    src_df = rd.read_parquet(f"{d}/images").to_pandas()
+    src_df = src_df[~src_df.image_id.duplicated(keep=False)]  # seeded dup ids
+    src = src_df.set_index("image_id")
+    sample = out[out.image_id.isin(src.index)].head(20)
+    assert len(sample) == 20
     for _, row in sample.iterrows():
         s = src.loc[row.image_id]
         assert row.characteristics["caption"] == s.caption
