@@ -98,3 +98,40 @@ def test_profile_written(golden_run):
     assert wp["psi"] < 0.2  # non-drift partition close to reference
     wd = p[(p.col == "w") & (p.partition_id == N_FILES - 1)].iloc[0]
     assert wd["psi"] > 0.2
+
+
+def test_violation_explosion_bounded(ray_session):
+    """A table where EVERY row violates several rules must emit capped
+    exemplars plus exact counts — never ≫1 violation row per input row
+    (SURVEY.md §7 'violation-row explosion')."""
+    import pyarrow as pa
+    import ray.data as rd
+    from faang_pydantics_validation_ray.pipelines.validate import (
+        ValidationOptions, validate_images,
+    )
+    n = 5000
+    t = pa.table({
+        "image_id": pa.array([None] * n, type=pa.string()),   # required error
+        "bytes": pa.array([None] * n, type=pa.binary()),      # required error
+        "w": pa.array([0] * n, type=pa.int32()),              # range error
+        "h": pa.array([0] * n, type=pa.int32()),
+        "fmt": pa.array(["bmp"] * n, type=pa.string()),       # enum error
+        "caption": pa.array([None] * n, type=pa.string()),    # warning
+        "phash": pa.array([None] * n, type=pa.int64()),       # warning
+        "partition_id": pa.array([0] * n, type=pa.int32()),
+    })
+    cap = 10
+    res = validate_images(rd.from_arrow(t), opts=ValidationOptions(
+        batch_size=500, concurrency=2, exemplar_cap=cap,
+        check_neardup=False, check_unique=False, check_referential=False))
+    # exact counts survive: every rule fired on every row
+    rc = {r: c for r, _, c in res.rule_counts[["rule_id", "severity", "count"]]
+          .itertuples(index=False)}
+    for rule in ("required.image_id", "required.bytes", "range.dims",
+                 "enum.fmt", "recommended.caption", "recommended.phash"):
+        assert rc[rule] == n, rule
+    # exemplars bounded: ≤ cap × rules × batches, far below rules × rows
+    n_batches = -(-n // 500)
+    assert res.violations.num_rows <= cap * len(rc) * n_batches
+    assert res.violations.num_rows < n
+    assert res.summary["invalid"] == n
