@@ -1,0 +1,95 @@
+"""CLI entry point — the ``ray job submit`` surface (SURVEY.md S2/S3).
+
+Usage (each owns its Ray session; on a cluster drop ``--local``)::
+
+    python -m faang_pydantics_validation_ray.cli validate \
+        --input /tmp/fpv_imgtable/n2000_s42_f4_v1_d1 --out /tmp/run1 \
+        [--profile ref_profile.parquet] [--resume/--no-resume] [--report]
+
+    python -m faang_pydantics_validation_ray.cli build-profile \
+        --input <clean_table_dir> --out profile.parquet
+
+    python -m faang_pydantics_validation_ray.cli export \
+        --input <table_dir> --out /tmp/export
+
+On a multi-node cluster this module is the entrypoint for
+``ray job submit -- python -m faang_pydantics_validation_ray.cli validate …``
+(the driver connects to the cluster instead of local mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(args):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local" if args.local else "auto",
+                 include_dashboard=False, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+    import ray.data as rd
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--local", action="store_true", default=True)
+    common.add_argument("--num-cpus", type=int, default=None)
+    p = argparse.ArgumentParser(prog="faang_pydantics_validation_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="checkpointed validation run",
+                       parents=[common])
+    v.add_argument("--input", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--profile", default=None)
+    v.add_argument("--no-resume", dest="resume", action="store_false")
+    v.add_argument("--report", action="store_true")
+
+    b = sub.add_parser("build-profile", help="reference profile from clean table",
+                       parents=[common])
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+
+    e = sub.add_parser("export", help="clean-row export", parents=[common])
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    ray = _session(args)
+    try:
+        if args.cmd == "validate":
+            from .state.checkpoint import run_validation_checkpointed
+            summary = run_validation_checkpointed(
+                args.input, args.out, ref_profile_path=args.profile,
+                resume=args.resume)
+            print(json.dumps(summary, default=str))
+            if args.report:
+                import pandas as pd
+                import pyarrow.parquet as pq
+                verd = pd.read_parquet(f"{args.out}/verdicts.parquet")
+                print(verd.to_string())
+        elif args.cmd == "build-profile":
+            import ray.data as rd
+            from .pipelines.profile import build_reference_profile, save_profile
+            prof = build_reference_profile(rd.read_parquet(f"{args.input}/images"))
+            save_profile(prof, args.out)
+            print(json.dumps({c: p.summary() for c, p in prof.items()},
+                             default=str))
+        elif args.cmd == "export":
+            import ray.data as rd
+            from .pipelines.export import export_clean_images
+            ds = export_clean_images(rd.read_parquet(f"{args.input}/images"),
+                                     out_dir=args.out)
+            print(json.dumps({"exported_rows": ds.count()}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
