@@ -177,6 +177,62 @@ ORDER BY rule_id
 """
 
 
+def q_rules_documents(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as _pa
+    rs = RuleSet(key_column="doc_id")
+    rs.add("required.text", "text", kernels.required("text"))
+    rs.add("pattern.source", "source", kernels.regex("source", r"^src[0-9]+$"))
+    rs.add("urlprefix.source", "source",
+           kernels.url_prefix("source", severity="warning"))
+    rs.add("castable.lang", "lang",
+           kernels.castable("lang", _pa.float64(), severity="warning"))
+    return rule_violation_counts(_read(sf_dir, "documents"), rs, [
+        ("required.text", "error"), ("pattern.source", "error"),
+        ("urlprefix.source", "warning"), ("castable.lang", "warning")])
+
+
+SQL_RULES_DOCUMENTS = """
+SELECT 'castable.lang' AS rule_id, 'warning' AS severity,
+       CAST(count(*) FILTER (WHERE lang IS NOT NULL
+            AND TRY_CAST(lang AS DOUBLE) IS NULL) AS BIGINT) AS violations
+FROM documents
+UNION ALL SELECT 'pattern.source', 'error',
+       CAST(count(*) FILTER (WHERE source IS NOT NULL
+            AND NOT regexp_matches(source, '^src[0-9]+$')) AS BIGINT) FROM documents
+UNION ALL SELECT 'required.text', 'error',
+       CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) FROM documents
+UNION ALL SELECT 'urlprefix.source', 'warning',
+       CAST(count(*) FILTER (WHERE source IS NOT NULL
+            AND NOT (starts_with(source, 'http://')
+                     OR starts_with(source, 'https://'))) AS BIGINT) FROM documents
+ORDER BY rule_id
+"""
+
+
+def q_rules_embeddings(sf_dir: str) -> pd.DataFrame:
+    rs = RuleSet(key_column="vec_id")
+    rs.add("cardinality.embedding", "embedding",
+           kernels.list_cardinality("embedding", lo=64, hi=64))
+    rs.add("required.label", "label", kernels.required("label"))
+    rs.add("range.label", "label", kernels.numeric_range("label", lo=0, hi=2))
+    return rule_violation_counts(_read(sf_dir, "embeddings"), rs, [
+        ("cardinality.embedding", "error"), ("required.label", "error"),
+        ("range.label", "error")])
+
+
+SQL_RULES_EMBEDDINGS = """
+SELECT 'cardinality.embedding' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64)
+            AS BIGINT) AS violations FROM embeddings
+UNION ALL SELECT 'range.label', 'error',
+       CAST(count(*) FILTER (WHERE label < 0 OR label > 2) AS BIGINT)
+       FROM embeddings
+UNION ALL SELECT 'required.label', 'error',
+       CAST(count(*) FILTER (WHERE label IS NULL) AS BIGINT) FROM embeddings
+ORDER BY rule_id
+"""
+
+
 # ------------------------------------------------------------ aggregations
 
 
@@ -745,6 +801,8 @@ QUERIES = {
     "rules_lineitem": q_rules_lineitem,
     "rules_customer": q_rules_customer,
     "rules_events": q_rules_events,
+    "rules_documents": q_rules_documents,
+    "rules_embeddings": q_rules_embeddings,
     # aggregation / sort / window (DuckDB-verified)
     "q1_pricing": q1_pricing,
     "stats_lineitem": q_stats_lineitem,
@@ -789,6 +847,8 @@ ORACLES = {
     "rules_lineitem": SQL_RULES_LINEITEM,
     "rules_customer": SQL_RULES_CUSTOMER,
     "rules_events": SQL_RULES_EVENTS,
+    "rules_documents": SQL_RULES_DOCUMENTS,
+    "rules_embeddings": SQL_RULES_EMBEDDINGS,
     "q1_pricing": SQL_Q1,
     "stats_lineitem": SQL_STATS_LINEITEM,
     "events_window": SQL_EVENTS_WINDOW,
