@@ -138,19 +138,26 @@ def phash64(pixels: np.ndarray) -> int:
     """64-bit average perceptual hash: grayscale → 8×8 block means → >median bits.
 
     Deterministic; near-identical pixels → identical hash (used by the
-    near-duplicate groupby rule, SURVEY.md A5).
+    near-duplicate groupby rule, SURVEY.md A5). Vectorized via nested
+    ``reduceat`` (4× the per-row cost of the naive loop matters: this runs
+    once per image in the decode stage's consistency check).
     """
     gray = pixels.mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        rows = gray[ys[i] : max(ys[i + 1], ys[i] + 1)]
-        for j in range(8):
-            blocks[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > np.median(blocks)).flatten()
-    val = np.uint64(0)
-    for bit in bits:
-        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(bit))
-    return int(val.view(np.int64))  # store as int64 column
+    if h >= 8 and w >= 8:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        blocks = np.add.reduceat(np.add.reduceat(gray, ys[:-1], axis=0),
+                                 xs[:-1], axis=1) / counts
+    else:  # degenerate tiny images: per-block loop with clamped windows
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            rows = gray[ys[i]: max(ys[i + 1], ys[i] + 1)]
+            for j in range(8):
+                blocks[i, j] = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > np.median(blocks)).ravel()
+    v = int(np.frombuffer(np.packbits(bits).tobytes(), dtype=">u8")[0])
+    return v - (1 << 64) if v >= (1 << 63) else v  # store as int64 column
