@@ -70,7 +70,6 @@ def main(argv=None) -> int:
             print(json.dumps(summary, default=str))
             if args.report:
                 import pandas as pd
-                import pyarrow.parquet as pq
                 verd = pd.read_parquet(f"{args.out}/verdicts.parquet")
                 print(verd.to_string())
         elif args.cmd == "build-profile":

