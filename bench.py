@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_FILES = 8
+
+
+def _bench_files(n: int) -> int:
+    """More files for big tables: generation parallelism + partition count."""
+    return 8 if n <= 400_000 else 32
 
 
 def _sf(sf_dir: str) -> float:
@@ -62,9 +66,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_mult = int(os.environ.get("FPV_N_MULT", "1"))
     n = max(2000, int(sf * 1_000_000)) * n_mult
     # table generation + reference profile are setup, not benchmark
-    dirty = datagen.ensure_image_table(n=n, seed=42, n_files=BENCH_FILES,
-                                       use_ray=True)
-    clean = datagen.ensure_image_table(n=n, seed=42, n_files=BENCH_FILES,
+    nf = _bench_files(n)
+    dirty = datagen.ensure_image_table(n=n, seed=42, n_files=nf, use_ray=True)
+    clean = datagen.ensure_image_table(n=n, seed=42, n_files=nf,
                                        violations=False, drift=False,
                                        use_ray=True)
     ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
