@@ -122,14 +122,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same job, same (4×) input, fresh process per parallelism level, one
-    warmup run per process (worker-process/import/page-cache warm — on a
-    long-lived cluster startup amortizes to zero). Reports full-pipeline and
-    fused-stage (per-row compute) efficiencies."""
+    """Same job, same input, fresh process per parallelism level, one warmup
+    run per process (worker-process/import/page-cache warm — on a long-lived
+    cluster startup amortizes to zero). Reports full-pipeline and fused-stage
+    (per-row compute) efficiencies.
+
+    Default input is 16× the headline table (1.6M images at sf0.1) so compute
+    dominates the ~7 s per-run orchestration floor — the faithful proxy for
+    the N vs 4N node criterion (see BASELINE.md workload-size sweep). First
+    run generates the table (~10 min); afterwards it is cached under /tmp.
+    Override with FPV_N_MULT."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    RAY_GRAFT_WARMUP="1",
-                   FPV_N_MULT=os.environ.get("FPV_N_MULT", "4"))
+                   FPV_N_MULT=os.environ.get("FPV_N_MULT", "16"))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
