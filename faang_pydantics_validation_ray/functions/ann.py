@@ -16,14 +16,33 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (zero-copy flat values)."""
+    """list<float> column → (n, d) float64 matrix (zero-copy flat values).
+
+    Null or ragged embeddings (exactly what the cardinality/required rules
+    flag) would silently misalign the reshape — raise a clear error naming
+    the offending rows instead; callers should validate/filter first."""
     arr = col.combine_chunks()
-    flat = np.asarray(arr.values, dtype=np.float64)
     n = len(arr)
-    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count:
+        bad = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        raise ValueError(
+            f"null embeddings at batch rows {np.flatnonzero(bad)[:10].tolist()}"
+            " — filter/validate before ANN (see cardinality/required rules)")
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if not (lens == d).all():
+        bad = np.flatnonzero(lens != d)
+        raise ValueError(
+            f"ragged embeddings (expected dim {d}) at batch rows "
+            f"{bad[:10].tolist()} — filter/validate before ANN")
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(n, d)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -52,12 +71,19 @@ class TopKScorer:
                              "score": pa.array([], type=pa.float64())})
         scores = e @ self.q.T                       # (n, q)
         k = min(self.k, e.shape[0])
-        top = np.argpartition(-scores, k - 1, axis=0)[:k]   # (k, q)
         qi, vi, sc = [], [], []
         for j in range(self.q.shape[0]):
-            qi.extend([j] * k)
-            vi.extend(ids[top[:, j]].tolist())
-            sc.extend(scores[top[:, j], j].tolist())
+            # deterministic per-batch top-k: include ALL rows tied with the
+            # k-th score, break ties by id asc — matches the SQL oracle's
+            # row_number(ORDER BY score DESC, id) when duplicates exist
+            s = scores[:, j]
+            kth = np.partition(s, -k)[-k]
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[cand], -s[cand]))
+            sel = cand[order[:k]]
+            qi.extend([j] * len(sel))
+            vi.extend(ids[sel].tolist())
+            sc.extend(s[sel].tolist())
         return pa.table({"query_id": pa.array(qi, type=pa.int32()),
                          self.id_col: pa.array(vi, type=pa.int64()),
                          "score": pa.array(sc, type=pa.float64())})

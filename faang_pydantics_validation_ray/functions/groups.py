@@ -141,12 +141,14 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     def img_partials(t: pa.Table) -> pa.Table:
         ic = _batch_key_counts(t, id_col)
         pcnt = _batch_key_counts(t, phash_col)
+        # prefix literals are explicitly string-typed: pa.array([] ) is
+        # null-typed and binary_join_element_wise rejects (null, string)
         keys = pa.concat_arrays([
             pc.binary_join_element_wise(
-                pa.array(["i"] * ic.num_rows),
+                pa.array(["i"] * ic.num_rows, type=pa.string()),
                 pc.cast(ic.column(id_col), pa.string()).combine_chunks(), ":"),
             pc.binary_join_element_wise(
-                pa.array(["p"] * pcnt.num_rows),
+                pa.array(["p"] * pcnt.num_rows, type=pa.string()),
                 pc.cast(pcnt.column(phash_col), pa.string()).combine_chunks(), ":"),
         ])
         cnts = pa.concat_arrays([ic.column("cnt").combine_chunks(),
@@ -157,7 +159,7 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     def cap_partials(t: pa.Table) -> pa.Table:
         c = _batch_key_counts(t, id_col)
         keys = pc.binary_join_element_wise(
-            pa.array(["i"] * c.num_rows),
+            pa.array(["i"] * c.num_rows, type=pa.string()),
             pc.cast(c.column(id_col), pa.string()).combine_chunks(), ":")
         zero = pa.array(np.zeros(c.num_rows, dtype=np.int64))
         return pa.table({"key": keys, "own_cnt": zero,

@@ -425,8 +425,8 @@ def q_dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
 
 SQL_DEDUP_EXACT_DOCUMENTS = """
 SELECT CAST(COUNT(*) AS BIGINT) AS total,
-       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
-       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_rows
+       CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS distinct_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS dup_rows
 FROM documents
 """
 
@@ -503,17 +503,17 @@ def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs, fully distributed: candidate texts are
+    fetched via a broadcast-id filtered pass (bounded by candidate count) and
+    pairs verified in workers — no full-corpus driver materialization."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = dedup.minhash_lsh_candidates(ds).to_pandas()
-    texts = {r.doc_id: r.text
-             for r in _read(sf_dir, "documents").to_pandas().itertuples()}
-    return dedup.verify_candidates(cand, texts, threshold=0.6)
+    cand = dedup.minhash_lsh_candidates(ds)
+    return dedup.verify_candidates_distributed(ds, cand, threshold=0.6)
 
 
 def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup.simhash_near_dups(ds, max_hamming=6).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return dedup.simhash_near_dups(ds, max_hamming=6)
 
 
 # ------------------------------------------------------------------- ANN
@@ -683,10 +683,8 @@ def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     """Full dedup chain: MinHash-LSH candidates → exact Jaccard verify →
     union-find clusters → survivor marking."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = dedup.minhash_lsh_candidates(ds).to_pandas()
-    texts = {r.doc_id: r.text
-             for r in _read(sf_dir, "documents").to_pandas().itertuples()}
-    pairs = dedup.verify_candidates(cand, texts, threshold=0.6)
+    cand = dedup.minhash_lsh_candidates(ds)
+    pairs = dedup.verify_candidates_distributed(ds, cand, threshold=0.6)
     if pairs.empty:
         return pd.DataFrame({"id": [], "cluster_id": [], "keep": []})
     return dedup.cluster_pairs(pairs)

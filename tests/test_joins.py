@@ -43,3 +43,24 @@ def test_join_mismatch_count(ray_session):
         child, parent, "pid", "id",
         lambda t: pc.not_equal(t.column("species"), t.column("p_species")))
     assert bad == 1  # the (1, dog) child
+
+
+def test_fused_counts_handles_empty_and_null_batches(ray_session):
+    """Regression (ADVICE r1): a batch yielding zero key-count rows (all-null
+    keys / empty block) must not crash the prefix tagging."""
+    import numpy as np
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.groups import (
+        fused_cross_record_counts)
+    df = pd.DataFrame({
+        "image_id": ["A", "A", None, None, "B"],
+        "phash": pd.array([None, None, None, None, None], dtype="Int64"),
+    })
+    # one block is entirely null-keyed
+    ds = rd.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:],
+                         df.iloc[0:0]])
+    caps = rd.from_pandas(pd.DataFrame({"image_id": ["A", "Z", "Z"]}))
+    dup, missing, near = fused_cross_record_counts(ds, caps)
+    assert dup.set_index("image_id")["cnt"].to_dict() == {"A": 2}
+    assert missing.set_index("image_id")["left_cnt"].to_dict() == {"Z": 2}
+    assert len(near) == 0
