@@ -94,11 +94,13 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     """Exact brute-force cosine top-k per query → DataFrame
     (query_id, vec_id, score) sorted by (query_id, -score, vec_id)."""
     import ray
+    from ..runtime import pool_concurrency
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
         TopKScorer, fn_constructor_kwargs=dict(queries_ref=qref, k=k,
                                                id_col=id_col, emb_col=emb_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1).to_pandas()
+        batch_format="pyarrow", concurrency=pool_concurrency(),
+        num_cpus=1).to_pandas()
     if partials.empty:
         return partials
     out = (partials.sort_values(["query_id", "score", id_col],
@@ -159,8 +161,10 @@ def lsh_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
                              id_col: pa.array(vi, type=pa.int64()),
                              "score": pa.array(sc, type=pa.float64())})
 
+    from ..runtime import pool_concurrency
     partials = ds.map_batches(BucketScorer, batch_format="pyarrow",
-                              concurrency=(1, 4), num_cpus=1).to_pandas()
+                              concurrency=pool_concurrency(),
+                              num_cpus=1).to_pandas()
     if partials.empty:
         return partials
     out = (partials.sort_values(["query_id", "score", id_col],

@@ -562,15 +562,16 @@ def q_join_consistency(sf_dir: str) -> pd.DataFrame:
     whose l_linestatus disagrees with a finalized order ('F')."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
     od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    bad = joins.join_mismatch_count(
+    counts = joins.join_flag_counts(
         li, od, "l_orderkey", "o_orderkey",
-        lambda t: pc.and_(pc.equal(t.column("o_orderstatus"), "F"),
-                          pc.not_equal(t.column("l_linestatus"), "F")))
-    total = joins.join_mismatch_count(
-        li, od, "l_orderkey", "o_orderkey",
-        lambda t: pc.equal(t.column("o_orderstatus"), "F"))
-    return pd.DataFrame({"mismatched_lines": pd.array([bad], dtype="int64"),
-                         "finalized_lines": pd.array([total], dtype="int64")})
+        {"mismatched_lines": lambda t: pc.and_(
+            pc.equal(t.column("o_orderstatus"), "F"),
+            pc.not_equal(t.column("l_linestatus"), "F")),
+         "finalized_lines": lambda t: pc.equal(
+             t.column("o_orderstatus"), "F")})
+    return pd.DataFrame({
+        "mismatched_lines": pd.array([counts["mismatched_lines"]], dtype="int64"),
+        "finalized_lines": pd.array([counts["finalized_lines"]], dtype="int64")})
 
 
 SQL_JOIN_CONSISTENCY = """
@@ -781,9 +782,10 @@ def q_img_verdicts(sf_dir: str) -> pd.DataFrame:
 def q_img_features(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ..functions.multimodal import ImageFeatures
+    from ..runtime import pool_concurrency
     dirty, _ = _image_table_dir(sf_dir)
     out = rd.read_parquet(f"{dirty}/images").map_batches(
-        ImageFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        ImageFeatures, batch_format="pyarrow", concurrency=pool_concurrency(),
         num_cpus=1).to_pandas()
     agg = out.groupby("decode_ok").agg(
         n=("image_id", "size"), mean_w=("decoded_w", "mean"),

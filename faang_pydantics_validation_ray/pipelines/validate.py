@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from ..functions import groups
 from ..functions.sketches import ColumnProfile, ks_stat, psi
+from ..runtime import coalesce_blocks
 from ..stages.validate_batch import ValidateImagesBatch
 from .profile import DRIFT_COLS
 
@@ -149,9 +150,10 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                                    seed=opts.seed),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=opts.batch_size, concurrency=concurrency, num_cpus=1,
-    ).repartition(16).materialize()
-    # repartition(16): the event stream is tiny but inherits one block per
-    # upstream task — coalescing makes every downstream filter/groupby cheap
+    ).repartition(coalesce_blocks()).materialize()
+    # coalesce: the event stream is tiny but inherits one block per upstream
+    # task — fewer blocks make every downstream filter/groupby cheap; the
+    # count scales with session CPUs (no fixed cap on a bigger cluster)
     _mark("pass1 fused stage")
 
     # ---- pass 2/3: narrow shuffle rules
