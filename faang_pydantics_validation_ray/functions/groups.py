@@ -124,77 +124,103 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
                               captions_keys: "rd.Dataset | None",
                               id_col: str = "image_id",
                               phash_col: str = "phash",
-                              min_count: int = 2
-                              ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+                              min_count: int = 2,
+                              catalog_keys: "rd.Dataset | None" = None,
+                              ) -> tuple[pd.DataFrame, pd.DataFrame,
+                                         pd.DataFrame, pd.DataFrame]:
     """ALL counting cross-record rules in ONE hash shuffle (SURVEY.md §4.2
     "pick ONE partitioning key and reuse it"): uniqueness (A4), referential
-    anti-join (J1) and near-dup phash cardinality (A5) tag their per-batch
+    anti-join (J1), near-dup phash cardinality (A5) and the external-catalog
+    fall-through (T3, graft of the reference's BioSamples lookup,
+    /root/reference/generic_validator_classes.py:604-636) tag their per-batch
     combined partials into disjoint key namespaces (``i:<image_id>``,
-    ``p:<phash>``) and share a single groupby-sum exchange. A hot key still
-    contributes one partial row per batch (map-side combine).
+    ``p:<phash>``) and count columns, sharing a single groupby-sum exchange.
+    A hot key still contributes one partial row per batch (map-side combine).
 
     Returns (duplicates(image_id, cnt), missing(image_id, left_cnt),
-    neardup(phash, cnt)) — aggregate-sized pandas frames.
+    neardup(phash, cnt), external(image_id, left_cnt)) — aggregate-sized
+    pandas frames. ``external`` holds referenced ids absent locally but
+    present in ``catalog_keys`` (downgraded severity at the caller); with no
+    catalog it is empty and every unresolved ref lands in ``missing``.
     """
     from ray.data.aggregate import Sum
 
-    def img_partials(t: pa.Table) -> pa.Table:
-        ic = _batch_key_counts(t, id_col)
-        pcnt = _batch_key_counts(t, phash_col)
+    def _tagged_counts(t: pa.Table, key_src: str,
+                       prefix: str) -> tuple[pa.Array, pa.Array]:
+        c = _batch_key_counts(t, key_src)
         # prefix literals are explicitly string-typed: pa.array([] ) is
         # null-typed and binary_join_element_wise rejects (null, string)
-        keys = pa.concat_arrays([
-            pc.binary_join_element_wise(
-                pa.array(["i"] * ic.num_rows, type=pa.string()),
-                pc.cast(ic.column(id_col), pa.string()).combine_chunks(), ":"),
-            pc.binary_join_element_wise(
-                pa.array(["p"] * pcnt.num_rows, type=pa.string()),
-                pc.cast(pcnt.column(phash_col), pa.string()).combine_chunks(), ":"),
-        ])
-        cnts = pa.concat_arrays([ic.column("cnt").combine_chunks(),
-                                 pcnt.column("cnt").combine_chunks()])
-        zero = pa.array(np.zeros(len(keys), dtype=np.int64))
-        return pa.table({"key": keys, "own_cnt": cnts, "cap_cnt": zero})
+        keys = pc.binary_join_element_wise(
+            pa.array([prefix] * c.num_rows, type=pa.string()),
+            pc.cast(c.column(key_src), pa.string()).combine_chunks(), ":")
+        return keys, c.column("cnt").combine_chunks()
+
+    def _table(keys, own, cap, cat) -> pa.Table:
+        return pa.table({"key": keys, "own_cnt": own, "cap_cnt": cap,
+                         "cat_cnt": cat})
+
+    def _zeros(n: int) -> pa.Array:
+        return pa.array(np.zeros(n, dtype=np.int64))
+
+    def img_partials(t: pa.Table) -> pa.Table:
+        ik, ic = _tagged_counts(t, id_col, "i")
+        pk, pcn = _tagged_counts(t, phash_col, "p")
+        keys = pa.concat_arrays([ik, pk])
+        cnts = pa.concat_arrays([ic, pcn])
+        return _table(keys, cnts, _zeros(len(keys)), _zeros(len(keys)))
 
     def cap_partials(t: pa.Table) -> pa.Table:
-        c = _batch_key_counts(t, id_col)
-        keys = pc.binary_join_element_wise(
-            pa.array(["i"] * c.num_rows, type=pa.string()),
-            pc.cast(c.column(id_col), pa.string()).combine_chunks(), ":")
-        zero = pa.array(np.zeros(c.num_rows, dtype=np.int64))
-        return pa.table({"key": keys, "own_cnt": zero,
-                         "cap_cnt": c.column("cnt")})
+        k, c = _tagged_counts(t, id_col, "i")
+        return _table(k, _zeros(len(k)), c, _zeros(len(k)))
+
+    def cat_partials(t: pa.Table) -> pa.Table:
+        k, c = _tagged_counts(t, id_col, "i")
+        return _table(k, _zeros(len(k)), _zeros(len(k)), c)
 
     tagged = narrow.map_batches(img_partials, batch_format="pyarrow")
     if captions_keys is not None:
         tagged = tagged.union(captions_keys.map_batches(cap_partials,
                                                         batch_format="pyarrow"))
+    if catalog_keys is not None:
+        tagged = tagged.union(catalog_keys.map_batches(cat_partials,
+                                                       batch_format="pyarrow"))
     summed = tagged.groupby("key").aggregate(Sum("own_cnt", alias_name="own_cnt"),
-                                             Sum("cap_cnt", alias_name="cap_cnt"))
+                                             Sum("cap_cnt", alias_name="cap_cnt"),
+                                             Sum("cat_cnt", alias_name="cat_cnt"))
     interesting = summed.map_batches(
         lambda t: t.filter(pc.or_(pc.greater_equal(t.column("own_cnt"), min_count),
                                   pc.equal(t.column("own_cnt"), 0))),
         batch_format="pyarrow").to_pandas()
     empty = (pd.DataFrame({id_col: [], "cnt": []}),
              pd.DataFrame({id_col: [], "left_cnt": []}),
-             pd.DataFrame({phash_col: [], "cnt": []}))
+             pd.DataFrame({phash_col: [], "cnt": []}),
+             pd.DataFrame({id_col: [], "left_cnt": []}))
     if interesting.empty:
         return empty
     ns = interesting["key"].str.slice(0, 2)
     raw = interesting["key"].str.slice(2)
     img = interesting[ns == "i:"]
     ph = interesting[ns == "p:"]
+    # NB: assign via lambdas sliced to d.index — assigning the full ``raw``
+    # Series onto an EMPTY filtered frame would resurrect its rows as NaNs
     dup = (img[img["own_cnt"] >= min_count]
-           .assign(**{id_col: raw, "cnt": lambda d: d["own_cnt"]})
+           .assign(**{id_col: lambda d: raw.loc[d.index],
+                      "cnt": lambda d: d["own_cnt"]})
            [[id_col, "cnt"]].reset_index(drop=True))
-    missing = (img[(img["own_cnt"] == 0) & (img["cap_cnt"] > 0)]
-               .assign(**{id_col: raw, "left_cnt": lambda d: d["cap_cnt"]})
+    unresolved = img[(img["own_cnt"] == 0) & (img["cap_cnt"] > 0)]
+    missing = (unresolved[unresolved["cat_cnt"] == 0]
+               .assign(**{id_col: lambda d: raw.loc[d.index],
+                          "left_cnt": lambda d: d["cap_cnt"]})
                [[id_col, "left_cnt"]].reset_index(drop=True))
+    external = (unresolved[unresolved["cat_cnt"] > 0]
+                .assign(**{id_col: lambda d: raw.loc[d.index],
+                           "left_cnt": lambda d: d["cap_cnt"]})
+                [[id_col, "left_cnt"]].reset_index(drop=True))
     near = ph[ph["own_cnt"] >= min_count].copy()
     near[phash_col] = pd.to_numeric(raw.loc[near.index]).astype("int64")
     near["cnt"] = near["own_cnt"]
     near = near[[phash_col, "cnt"]].reset_index(drop=True)
-    return dup, missing, near
+    return dup, missing, near, external
 
 
 def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.Dataset":

@@ -49,12 +49,16 @@ B_PSNR = 18            # pixel.psnr                  error (jpeg step 24 → ~31
 B_SENT_WARN = 19       # sentinel.fmt                warning ("restricted access")
 B_SENT_ERR = 20        # sentinel.fmt                error ("not collected")
 B_CORRUPT = 21         # pixel.decode                error (truncated payload)
+B_LABEL_MISMATCH = 22  # consistency.caption_label   warning (label ≠ caption noun)
+B_LABEL_BAD = 23       # vocab.label                 error (label not in vocab dim)
+B_DATE_PATTERN = 24    # datepattern.collected_date  error (format ≠ unit's pattern)
+B_DATE_INVALID = 25    # datevalid.collected_date    error (well-formed, not a real date)
 
 BUCKETS = {
     B_ID_NULL, B_BYTES_NULL, B_FMT_BAD, B_FMT_CASE, B_ID_PATTERN, B_W_ZERO,
     B_H_NEG, B_TOO_BIG, B_MAGIC, B_DIMS, B_DUP_PREV, B_DUP_HOT, B_NEARDUP_A,
     B_NEARDUP_PAIR, B_CAP_NULL, B_PHASH_NULL, B_PSNR, B_SENT_WARN, B_SENT_ERR,
-    B_CORRUPT,
+    B_CORRUPT, B_LABEL_MISMATCH, B_LABEL_BAD, B_DATE_PATTERN, B_DATE_INVALID,
 }
 
 HOT_DUP_ID = "IMG_999999999999"
@@ -66,6 +70,17 @@ ORPHAN_OFFSET = 77
 
 _ADJ = ["red", "small", "old", "bright", "wet", "tall", "round", "quiet"]
 _NOUN = ["cat", "house", "tree", "river", "car", "bird", "mountain", "boat"]
+
+# vocab dim (T1/T2 graft): the closed label ontology with canonical categories
+VOCAB = {"cat": "animal", "bird": "animal", "house": "structure",
+         "boat": "structure", "car": "structure", "tree": "nature",
+         "river": "nature", "mountain": "nature"}
+BAD_LABEL = "wug"                 # out-of-vocab label for B_LABEL_BAD
+
+# collected_date units and their expected patterns (reference's per-unit
+# date-pattern dispatch, /root/reference/validation_utils.py:150-202)
+DATE_UNITS = ("YYYY-MM-DD", "YYYY-MM", "YYYY")
+INVALID_DAY_DATE_SUFFIX = "-02-30"   # well-formed, never a real date
 
 
 def _sm(x: int) -> int:
@@ -91,6 +106,9 @@ class RowPlan:
     corrupt: bool
     partition_id: int
     bucket: int
+    label: str | None = None
+    collected_date: str | None = None
+    date_unit: str | None = None
 
     def norm_fmt(self) -> str | None:
         return self.fmt.strip().lower() if self.fmt is not None else None
@@ -100,16 +118,24 @@ def row_plan(i: int, n: int, seed: int, n_files: int, violations: bool = True,
              drift: bool = True) -> RowPlan:
     b = i % 1000 if violations else -1
     part = i * n_files // n if n else 0
-    s1, s2, s3, s4, s5 = (_sm(seed * 1_000_003 + i * 8 + k) for k in range(5))
+    s1, s2, s3, s4, s5, s6, s7, s8 = (
+        _sm(seed * 1_000_003 + i * 8 + k) for k in range(8))
     in_drift = drift and n_files > 1 and part == n_files - 1
     lo, span = (24, 57) if in_drift else (8, 41)       # drift: shifted dims distribution
     wa, ha = lo + s1 % span, lo + s2 % span
     fmt = codec.FORMATS[s3 % 3]
-    caption = f"a photo of a {_ADJ[s4 % 8]} {_NOUN[s5 % 8]} #{i}"
+    noun = _NOUN[s5 % 8]
+    caption = f"a photo of a {_ADJ[s4 % 8]} {noun} #{i}"
+    # collected_date: always a REAL date formatted per its unit (day ≤ 28)
+    y, mo, dy = 2015 + s6 % 10, 1 + s7 % 12, 1 + s8 % 28
+    unit = DATE_UNITS[s6 % 3]
+    date = {"YYYY-MM-DD": f"{y:04d}-{mo:02d}-{dy:02d}",
+            "YYYY-MM": f"{y:04d}-{mo:02d}", "YYYY": f"{y:04d}"}[unit]
     p = RowPlan(i=i, image_id=f"IMG_{i:012d}", wa=wa, ha=ha, w=wa, h=ha, fmt=fmt,
                 enc_fmt=fmt, jpeg_step=codec.DEFAULT_JPEG_STEP, caption=caption,
                 phash_override=None, phash_null=False, bytes_null=False,
-                corrupt=False, partition_id=part, bucket=b)
+                corrupt=False, partition_id=part, bucket=b, label=noun,
+                collected_date=date, date_unit=unit)
     if not violations:
         return p
     if b == B_ID_NULL:
@@ -154,6 +180,16 @@ def row_plan(i: int, n: int, seed: int, n_files: int, violations: bool = True,
         p.fmt, p.enc_fmt = "not collected", "png"
     elif b == B_CORRUPT:
         p.corrupt = True
+    elif b == B_LABEL_MISMATCH:
+        p.label = _NOUN[(s5 + 1) % 8]     # in vocab, but not the caption noun
+    elif b == B_LABEL_BAD:
+        p.label = BAD_LABEL               # not in the vocab dim
+    elif b == B_DATE_PATTERN:
+        p.date_unit = "YYYY"              # full date under a year-only unit
+        p.collected_date = f"{2015 + s6 % 10:04d}-{1 + s7 % 12:02d}-{1 + s8 % 28:02d}"
+    elif b == B_DATE_INVALID:
+        p.date_unit = "YYYY-MM-DD"        # pattern-valid but not a real date
+        p.collected_date = f"{2015 + s6 % 10:04d}{INVALID_DAY_DATE_SUFFIX}"
     if i % 20 == 19 and b not in BUCKETS:
         p.phash_override = HOT_PHASH    # 4.8% hot near-dup bucket (skew test)
     return p
@@ -175,6 +211,8 @@ def _materialize(p: RowPlan, seed: int) -> dict:
     return {
         "image_id": p.image_id, "bytes": buf, "w": p.w, "h": p.h, "fmt": p.fmt,
         "caption": p.caption, "phash": ph, "partition_id": p.partition_id,
+        "label": p.label, "collected_date": p.collected_date,
+        "date_unit": p.date_unit,
     }
 
 
@@ -182,7 +220,31 @@ IMAGE_SCHEMA = pa.schema([
     ("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
     ("h", pa.int32()), ("fmt", pa.string()), ("caption", pa.string()),
     ("phash", pa.int64()), ("partition_id", pa.int32()),
+    ("label", pa.string()), ("collected_date", pa.string()),
+    ("date_unit", pa.string()),
 ])
+
+VOCAB_SCHEMA = pa.schema([("label", pa.string()), ("category", pa.string())])
+CATALOG_SCHEMA = pa.schema([("image_id", pa.string())])
+
+
+def vocab_table() -> pa.Table:
+    """The label-ontology dim (T1/T2): broadcast-joined by the caption↔label
+    consistency and vocab-membership rules."""
+    labels = sorted(VOCAB)
+    return pa.table({"label": labels,
+                     "category": [VOCAB[x] for x in labels]},
+                    schema=VOCAB_SCHEMA)
+
+
+def catalog_table(n: int) -> pa.Table:
+    """External catalog dim (T3 graft of the reference's BioSamples
+    fall-through, /root/reference/generic_validator_classes.py:604-636):
+    every EVEN orphan caption target is registered externally, so the
+    referential rule downgrades it to a warning instead of an error."""
+    ids = [f"IMG_MISSING_{j:06d}" for j in range(n)
+           if j % ORPHAN_EVERY == ORPHAN_OFFSET and (j // ORPHAN_EVERY) % 2 == 0]
+    return pa.table({"image_id": ids}, schema=CATALOG_SCHEMA)
 
 CAPTIONS_SCHEMA = pa.schema([
     ("caption_id", pa.string()), ("image_id", pa.string()), ("caption", pa.string()),
@@ -246,15 +308,26 @@ def write_image_table(out_dir: str, n: int, seed: int = 42, n_files: int = 4,
             _write_one(f, lo, hi)
     pq.write_table(captions_table(n, seed, n_files, violations, drift),
                    os.path.join(out_dir, "captions.parquet"))
+    pq.write_table(vocab_table(), os.path.join(out_dir, "vocab.parquet"))
+    pq.write_table(catalog_table(n if violations else 0),
+                   os.path.join(out_dir, "catalog.parquet"))
     with open(marker, "w") as fh:
         fh.write(f"n={n} seed={seed} n_files={n_files} violations={violations}\n")
     return out_dir
 
 
+def table_tag(n: int, seed: int = 42, n_files: int = 4, violations: bool = True,
+              drift: bool = True) -> str:
+    """Cache-directory tag; the trailing generation id is bumped whenever the
+    generated schema/content changes so stale /tmp caches are never reused
+    (g2: label/collected_date/date_unit columns + vocab/catalog dims)."""
+    return f"n{n}_s{seed}_f{n_files}_v{int(violations)}_d{int(drift)}_g2"
+
+
 def ensure_image_table(n: int, seed: int = 42, n_files: int = 4, violations: bool = True,
                        drift: bool = True, root: str = "/tmp/fpv_imgtable",
                        use_ray: bool = False) -> str:
-    tag = f"n{n}_s{seed}_f{n_files}_v{int(violations)}_d{int(drift)}"
+    tag = table_tag(n, seed, n_files, violations, drift)
     return write_image_table(os.path.join(root, tag), n, seed, n_files,
                              violations, drift, use_ray=use_ray)
 
@@ -329,6 +402,14 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
             out.append(("sentinel.fmt", iid, "error"))
         if b == B_CORRUPT:
             out.append(("pixel.decode", iid, "error"))
+        if b == B_LABEL_MISMATCH:
+            out.append(("consistency.caption_label", iid, "warning"))
+        if b == B_LABEL_BAD:
+            out.append(("vocab.label", iid, "error"))
+        if b == B_DATE_PATTERN:
+            out.append(("datepattern.collected_date", iid, "error"))
+        if b == B_DATE_INVALID:
+            out.append(("datevalid.collected_date", iid, "error"))
     for iid, c in id_counts.items():
         if c > 1:
             out.append(("unique.image_id", iid, "error"))
@@ -337,5 +418,9 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
             out.append(("neardup.phash", f"phash={ph}", "warning"))
     for j in range(n):
         if j % ORPHAN_EVERY == ORPHAN_OFFSET:
-            out.append(("ref.caption_image", f"IMG_MISSING_{j:06d}", "error"))
+            if (j // ORPHAN_EVERY) % 2 == 0:   # registered in the external catalog
+                out.append(("ref.caption_image_external",
+                            f"IMG_MISSING_{j:06d}", "warning"))
+            else:
+                out.append(("ref.caption_image", f"IMG_MISSING_{j:06d}", "error"))
     return out

@@ -745,6 +745,7 @@ def _run_flagship(sf_dir: str):
     from .validate import ValidationOptions, validate_images
     dirty, clean = _image_table_dir(sf_dir)
     ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
+    vocab = pq.read_table(f"{dirty}/vocab.parquet").column("label").to_pylist()
     _FLAGSHIP_CACHE[sf_dir] = validate_images(
         rd.read_parquet(f"{dirty}/images"),
         captions_ds=rd.read_parquet(f"{dirty}/captions.parquet",
@@ -753,6 +754,8 @@ def _run_flagship(sf_dir: str):
                                   columns=["image_id", "phash"],
                                   override_num_blocks=16),
         ref_profile=ref,
+        catalog_ds=rd.read_parquet(f"{dirty}/catalog.parquet"),
+        vocab=vocab,
         opts=ValidationOptions(batch_size=512))  # pool sized from the session
     return _FLAGSHIP_CACHE[sf_dir]
 

@@ -113,13 +113,20 @@ def _viol_table(rule_id, keys, severity, field, message, counts,
 
 def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                     ref_profile: dict[str, ColumnProfile] | None = None,
-                    opts: ValidationOptions = ValidationOptions()) -> ValidationResult:
+                    opts: ValidationOptions = ValidationOptions(),
+                    catalog_ds=None, vocab=None) -> ValidationResult:
     """Validate an image+caption Dataset; returns violations, per-partition
     verdicts, rule counts, per-partition column profiles and a run summary.
 
     ``narrow_ds`` should be a column-pruned read of (image_id, phash[,
     partition_id]) — at 100 TB the shuffle rules must NOT re-read ``bytes``.
     Falls back to ``images_ds.select_columns`` (projection pushdown) if omitted.
+
+    ``catalog_ds`` (T3): external-catalog dim of known-external image_ids;
+    caption refs missing locally but present there are downgraded to the
+    ``ref.caption_image_external`` warning (reference's BioSamples
+    fall-through). ``vocab``: label-term list from the vocab dim (T1/T2
+    caption↔label rules; see rules/image_rules.build_image_ruleset).
 
     Set ``FPV_TIMING=1`` to print per-phase wall times (perf debugging).
     """
@@ -147,7 +154,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         ValidateImagesBatch,
         fn_constructor_kwargs=dict(exemplar_cap=opts.exemplar_cap,
                                    psnr_min=opts.psnr_min, decode=opts.decode,
-                                   seed=opts.seed),
+                                   seed=opts.seed, vocab=vocab),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=opts.batch_size, concurrency=concurrency, num_cpus=1,
     ).repartition(coalesce_blocks()).materialize()
@@ -171,11 +178,13 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
 
     if opts.check_unique or opts.check_neardup or \
             (captions_ds is not None and opts.check_referential):
-        dup, missing, near_cnt = groups.fused_cross_record_counts(
+        dup, missing, near_cnt, external = groups.fused_cross_record_counts(
             narrow_ds,
             captions_ds.select_columns(["image_id"])
             if captions_ds is not None and opts.check_referential else None,
-            min_count=2)
+            min_count=2,
+            catalog_keys=catalog_ds.select_columns(["image_id"])
+            if catalog_ds is not None and opts.check_referential else None)
         if not opts.check_unique:
             dup = empty_dup
         _mark("fused cross-record count shuffle")
@@ -188,6 +197,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         _mark("neardup exemplars")
     else:
         dup, missing, near = empty_dup, empty_missing, empty_near
+        external = empty_missing.copy()
 
     # ---- assemble violations
     viol_parts = [
@@ -207,6 +217,10 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         _viol_table("ref.caption_image", missing["image_id"].tolist(), "error",
                     "image_id", "caption references a missing image_id",
                     missing["left_cnt"].astype(int).tolist()),
+        _viol_table("ref.caption_image_external", external["image_id"].tolist(),
+                    "warning", "image_id",
+                    "caption reference resolved via external catalog only",
+                    external["left_cnt"].astype(int).tolist()),
     ]
 
     _mark("violations assembly")
@@ -279,6 +293,9 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     if len(missing):
         extra_counts.append(("ref.caption_image", "error",
                              int(missing["left_cnt"].sum())))
+    if len(external):
+        extra_counts.append(("ref.caption_image_external", "warning",
+                             int(external["left_cnt"].sum())))
     for r, _, p in drift_viol:
         extra_counts.append((r, "warning", 1))
     if extra_counts:

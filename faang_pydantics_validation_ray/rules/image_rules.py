@@ -49,7 +49,24 @@ def range_valid_mask(t: pa.Table) -> np.ndarray:
     return ok
 
 
-def build_image_ruleset() -> RuleSet:
+# per-unit date patterns (strict anchored forms; see kernels.unit_pattern)
+DATE_PATTERNS = {"YYYY-MM-DD": r"^\d{4}-\d{2}-\d{2}$",
+                 "YYYY-MM": r"^\d{4}-\d{2}$",
+                 "YYYY": r"^\d{4}$"}
+
+
+def _full_date_unit_gate(t: pa.Table, ctx) -> np.ndarray:
+    """Calendar validity applies only to rows whose unit declares a full
+    date — year/month-granularity values have no day to validate."""
+    if "date_unit" not in t.column_names:
+        return np.zeros(t.num_rows, dtype=bool)
+    return np_bool(pc.equal(t.column("date_unit"), "YYYY-MM-DD"))
+
+
+def build_image_ruleset(vocab=None) -> RuleSet:
+    """``vocab``: label terms from the (broadcast) vocab dim table — enables
+    the T1 vocab-membership and T2 caption↔label consistency rules; date
+    rules activate whenever the collected_date/date_unit columns exist."""
     rs = RuleSet(key_column="image_id",
                  sentinel_levels={"fmt": "mandatory"})
     rs.add("required.image_id", "image_id", kernels.required("image_id"))
@@ -62,6 +79,14 @@ def build_image_ruleset() -> RuleSet:
     rs.add("recommended.caption", "caption", kernels.recommended("caption"))
     rs.add("recommended.phash", "phash", kernels.recommended("phash"))
     rs.add("conditional.phash_for_lossy", "phash", _phash_for_lossy_kernel)
+    rs.add("datepattern.collected_date", "collected_date",
+           kernels.unit_pattern("collected_date", "date_unit", DATE_PATTERNS))
+    rs.add("datevalid.collected_date", "collected_date",
+           kernels.real_date("collected_date", gate=_full_date_unit_gate))
+    if vocab is not None:
+        rs.add("vocab.label", "label", kernels.vocab_member("label", vocab))
+        rs.add("consistency.caption_label", "label",
+               kernels.text_label_consistent("caption", "label", vocab))
     return rs
 
 

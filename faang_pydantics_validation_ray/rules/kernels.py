@@ -194,6 +194,103 @@ def conditional_required(cond_col: str, cond_values: Sequence, dep_col: str,
     return kernel
 
 
+# -------------------------------------------- P3/P6 date-family (unit dispatch)
+def unit_pattern(col: str, unit_col: str, patterns: dict[str, str],
+                 severity: Severity = "error") -> Callable:
+    """P3 graft — per-unit pattern dispatch: the regex a value must match is
+    selected by its companion unit column (the reference's date_units →
+    YYYY[-MM[-DD]] selection, /root/reference/validation_utils.py:150-202,
+    organoid_ruleset.py:136-151). Units without a declared pattern pass."""
+    msg = f"value of '{col}' does not match the pattern for its '{unit_col}'"
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        if col not in t.column_names or unit_col not in t.column_names:
+            return []
+        bad = np.zeros(t.num_rows, dtype=bool)
+        for unit, pat in patterns.items():
+            sel = np_bool(pc.equal(t.column(unit_col), unit))
+            ok = np_bool(pc.match_substring_regex(t.column(col), pat))
+            bad |= sel & ~ok
+        return [(bad & ctx.present(col) & ctx.present(unit_col), severity, msg)]
+    return kernel
+
+
+def real_date(col: str, fmt: str = "%Y-%m-%d",
+              gate_pattern: str = r"^\d{4}-\d{2}-\d{2}$",
+              severity: Severity = "error",
+              gate: Callable[[pa.Table, "RuleContext"], np.ndarray] | None = None,
+              ) -> Callable:
+    """P6 graft — calendar validity beyond the pattern: parse + round-trip
+    re-format must reproduce the input (Arrow's strptime ROLLS OVER invalid
+    days like 2021-02-30 → 2021-03-02, so a null-diff alone misses them; the
+    round-trip catches rollover exactly like DuckDB's try_strptime rejects
+    it). Only values matching ``gate_pattern`` are checked — malformed values
+    belong to the pattern rule, not this one. Graft of the strptime check in
+    /root/reference/validation_utils.py:150-202."""
+    msg = f"value of '{col}' is not a real calendar date ({fmt})"
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        if col not in t.column_names:
+            return []
+        c = t.column(col)
+        shaped = np_bool(pc.match_substring_regex(c, gate_pattern))
+        parsed = pc.strptime(c, format=fmt, unit="s", error_is_null=True)
+        rt = pc.strftime(parsed, format=fmt)
+        bad = (np_bool(pc.is_null(parsed), null_value=True)
+               | ~np_bool(pc.equal(rt, c))) & shaped
+        if gate is not None:
+            bad &= gate(t, ctx)
+        return [(bad & ctx.present(col), severity, msg)]
+    return kernel
+
+
+# ------------------------------------------------- T1/T2 vocab (ontology) dims
+def vocab_member(col: str, vocab: Sequence[str],
+                 severity: Severity = "error") -> Callable:
+    """T1 graft — value must exist in the (broadcast) vocabulary dim
+    (the reference's ontology-term existence check,
+    /root/reference/generic_validator_classes.py:63-88)."""
+    msg = f"value of '{col}' is not a known vocabulary term"
+    vs = pa.array(sorted(set(vocab)))
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        if col not in t.column_names:
+            return []
+        bad = ~np_bool(pc.is_in(t.column(col), value_set=vs))
+        return [(bad & ctx.present(col), severity, msg)]
+    return kernel
+
+
+def text_label_consistent(text_col: str, label_col: str, vocab: Sequence[str],
+                          severity: Severity = "warning") -> Callable:
+    """T2 graft — the reference's signature ontology check: provided text must
+    agree with the declared label, WARNING on mismatch
+    (/root/reference/generic_validator_classes.py:90-121). Vectorized as one
+    word-boundary regex pass per (small, broadcast) vocab term: rows whose
+    label is term w must contain w in the text. Labels outside the vocab are
+    skipped here — :func:`vocab_member` owns those rows."""
+    msg = f"'{text_col}' does not mention the declared '{label_col}'"
+    import re as _re
+
+    terms = sorted(set(vocab))
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        if text_col not in t.column_names or label_col not in t.column_names:
+            return []
+        lab = t.column(label_col)
+        bad = np.zeros(t.num_rows, dtype=bool)
+        for w in terms:
+            is_w = np_bool(pc.equal(lab, w))
+            if not is_w.any():
+                continue
+            mentions = np_bool(pc.match_substring_regex(
+                t.column(text_col), r"\b" + _re.escape(w) + r"\b"))
+            bad |= is_w & ~mentions
+        return [(bad & ctx.present(text_col) & ctx.present(label_col),
+                 severity, msg)]
+    return kernel
+
+
 # ------------------------------------------------------- P11 list cardinality
 def list_cardinality(col: str, lo: int | None = None, hi: int | None = None,
                      severity: Severity = "error") -> Callable:

@@ -57,9 +57,9 @@ def _events(rows: list[dict]) -> pa.Table:
 class ValidateImagesBatch:
     def __init__(self, exemplar_cap: int = 50, psnr_min: float = 40.0,
                  decode: bool = True, seed: int = 42,
-                 ruleset: RuleSet | None = None):
+                 ruleset: RuleSet | None = None, vocab=None):
         self.exemplar_cap = exemplar_cap
-        self.ruleset = ruleset or image_rules.build_image_ruleset()
+        self.ruleset = ruleset or image_rules.build_image_ruleset(vocab=vocab)
         self.decoder = DecodeChecker(psnr_min=psnr_min, seed=seed) if decode else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:

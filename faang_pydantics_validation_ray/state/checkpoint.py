@@ -67,6 +67,9 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
     man_dir = os.path.join(out_dir, "_manifest")
     os.makedirs(man_dir, exist_ok=True)
     ref_profile = load_profile(ref_profile_path) if ref_profile_path else None
+    vocab_path = os.path.join(input_dir, "vocab.parquet")
+    vocab = (pq.read_table(vocab_path).column("label").to_pylist()
+             if os.path.exists(vocab_path) else None)
 
     per_opts = ValidationOptions(**{**opts.__dict__, "check_unique": False,
                                     "check_neardup": False,
@@ -80,7 +83,7 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
             continue
         t0 = time.time()
         res = validate_images(rd.read_parquet(f), ref_profile=ref_profile,
-                              opts=per_opts)
+                              opts=per_opts, vocab=vocab)
         part_dir = os.path.join(out_dir, "violations", f"part={i}")
         tmp_dir = part_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -118,16 +121,20 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
         if not (resume and os.path.exists(gman)):
             narrow = rd.read_parquet(os.path.join(input_dir, "images"),
                                      columns=["image_id", "phash"])
-            dup = groups.duplicate_keys(narrow, "image_id").to_pandas()
-            near = groups.group_exemplars(
-                narrow, "phash", "image_id", min_count=opts.neardup_min)
             cap_path = os.path.join(input_dir, "captions.parquet")
-            if os.path.exists(cap_path):
-                missing = groups.anti_join_counts(
-                    rd.read_parquet(cap_path).select_columns(["image_id"]),
-                    narrow.select_columns(["image_id"]), "image_id").to_pandas()
-            else:
-                missing = pd.DataFrame({"image_id": [], "left_cnt": []})
+            cat_path = os.path.join(input_dir, "catalog.parquet")
+            # ALL cross-partition counting rules in the ONE fused shuffle
+            # (same path as the streaming pipeline): uniqueness, referential
+            # (with external-catalog fall-through), near-dup cardinality
+            dup, missing, near_cnt, external = groups.fused_cross_record_counts(
+                narrow,
+                rd.read_parquet(cap_path).select_columns(["image_id"])
+                if os.path.exists(cap_path) else None,
+                catalog_keys=rd.read_parquet(cat_path).select_columns(["image_id"])
+                if os.path.exists(cat_path) else None)
+            near_cnt = near_cnt[near_cnt["cnt"] >= opts.neardup_min]
+            near = groups.collect_exemplars(narrow, "phash", "image_id",
+                                            near_cnt, k=3)
             gtables = [
                 _viol_table("unique.image_id", dup["image_id"].tolist(), "error",
                             "image_id", "duplicate image_id", dup["cnt"].tolist()),
@@ -139,6 +146,10 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
                             "error", "image_id",
                             "caption references a missing image_id",
                             missing["left_cnt"].astype(int).tolist()),
+                _viol_table("ref.caption_image_external",
+                            external["image_id"].tolist(), "warning", "image_id",
+                            "caption reference resolved via external catalog only",
+                            external["left_cnt"].astype(int).tolist()),
             ]
             gdir = os.path.join(out_dir, "global")
             tmp = gdir + ".tmp"
@@ -152,6 +163,8 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
             gsum = {"relationship_errors": int(
                 (dup["cnt"].sum() if len(dup) else 0) +
                 (missing["left_cnt"].sum() if len(missing) else 0)),
+                "external_refs": int(external["left_cnt"].sum()
+                                     if len(external) else 0),
                 "neardup_clusters": int(len(near))}
             with open(gman + ".tmp", "w") as fh:
                 json.dump(gsum, fh)

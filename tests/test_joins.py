@@ -60,7 +60,25 @@ def test_fused_counts_handles_empty_and_null_batches(ray_session):
     ds = rd.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:],
                          df.iloc[0:0]])
     caps = rd.from_pandas(pd.DataFrame({"image_id": ["A", "Z", "Z"]}))
-    dup, missing, near = fused_cross_record_counts(ds, caps)
+    dup, missing, near, external = fused_cross_record_counts(ds, caps)
     assert dup.set_index("image_id")["cnt"].to_dict() == {"A": 2}
     assert missing.set_index("image_id")["left_cnt"].to_dict() == {"Z": 2}
-    assert len(near) == 0
+    assert len(near) == 0 and len(external) == 0
+
+
+def test_fused_counts_external_catalog(ray_session):
+    """T3: locally-missing refs found in the external catalog split out of
+    ``missing`` (downgraded severity at the caller) — still one shuffle."""
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.groups import (
+        fused_cross_record_counts)
+    ds = rd.from_pandas(pd.DataFrame({
+        "image_id": ["A", "B"], "phash": pd.array([1, 1], dtype="Int64")}))
+    caps = rd.from_pandas(pd.DataFrame(
+        {"image_id": ["A", "X", "X", "Y"]}))
+    cat = rd.from_pandas(pd.DataFrame({"image_id": ["X", "UNUSED"]}))
+    dup, missing, near, external = fused_cross_record_counts(
+        ds, caps, catalog_keys=cat)
+    assert missing.set_index("image_id")["left_cnt"].to_dict() == {"Y": 1}
+    assert external.set_index("image_id")["left_cnt"].to_dict() == {"X": 2}
+    assert near.set_index("phash")["cnt"].to_dict() == {1: 2}

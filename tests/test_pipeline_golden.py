@@ -26,8 +26,11 @@ def golden_run(ray_session):
                                        violations=False, drift=False)
     images = rd.read_parquet(f"{d}/images")
     captions = rd.read_parquet(f"{d}/captions.parquet")
+    catalog = rd.read_parquet(f"{d}/catalog.parquet")
+    vocab = pq.read_table(f"{d}/vocab.parquet").column("label").to_pylist()
     ref_profile = prof.build_reference_profile(rd.read_parquet(f"{clean}/images"))
     res = validate_images(images, captions_ds=captions, ref_profile=ref_profile,
+                          catalog_ds=catalog, vocab=vocab,
                           opts=ValidationOptions(batch_size=256, concurrency=2))
     return res
 
