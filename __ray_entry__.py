@@ -63,5 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from faang_pydantics_validation_ray.imagetable import datagen
     from faang_pydantics_validation_ray.pipelines.queries import ORACLES
+
+    # the img_* oracles read the generated parquet under /tmp/fpv_imgtable at
+    # the driver's comparison scale (sf0.01 → n=10000); make sure it exists
+    # regardless of whether DuckDB or the Ray query runs first (idempotent)
+    datagen.ensure_image_table(n=10000, seed=42, n_files=4)
     return dict(ORACLES)

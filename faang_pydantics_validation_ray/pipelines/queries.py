@@ -722,9 +722,13 @@ def q_img_violation_exemplars(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------- flagship image table
 
 
+def _image_table_n(sf_dir: str) -> int:
+    return max(2000, int(_sf(sf_dir) * 1_000_000))
+
+
 def _image_table_dir(sf_dir: str) -> tuple[str, str]:
     from ..imagetable import datagen
-    n = max(2000, int(_sf(sf_dir) * 1_000_000))
+    n = _image_table_n(sf_dir)
     dirty = datagen.ensure_image_table(n=n, seed=42, n_files=4)
     clean = datagen.ensure_image_table(n=n, seed=42, n_files=4,
                                        violations=False, drift=False)
@@ -798,6 +802,183 @@ def q_img_features(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+# ---------------------------- flagship queries with DuckDB oracles
+#
+# The generated image table is plain parquet under /tmp/fpv_imgtable, so the
+# engine's own scalar-rule and fused cross-record outputs can be verified by
+# DuckDB SQL over the same files (VERDICT r1 #3). The oracle SQL embeds the
+# sf0.01 path (the driver's and the mimic suite's comparison scale);
+# __ray_entry__.oracle_sql() pre-generates that table so DuckDB can read it
+# regardless of execution order.
+
+# declared (rule_id, severity) list for the SQL-expressible scalar rules —
+# decode-dependent rules (xfield.*, pixel.*) are intentionally absent
+IMG_SCALAR_RULES = [
+    ("conditional.phash_for_lossy", "error"),
+    ("consistency.caption_label", "warning"),
+    ("datepattern.collected_date", "error"),
+    ("datevalid.collected_date", "error"),
+    ("enum.fmt", "error"),
+    ("normalize.fmt", "warning"),
+    ("pattern.image_id", "error"),
+    ("range.dims", "error"),
+    ("recommended.caption", "warning"),
+    ("recommended.phash", "warning"),
+    ("required.bytes", "error"),
+    ("required.image_id", "error"),
+    ("sentinel.fmt", "error"),
+    ("sentinel.fmt", "warning"),
+    ("vocab.label", "error"),
+]
+
+
+def q_img_scalar_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-rule counts of every SQL-expressible scalar rule over the
+    dirty image table — the SAME fused-stage code path as the flagship
+    (ValidateImagesBatch), with decode off, so the DuckDB oracle verifies the
+    engine's normalize/sentinel/vocab/date kernel semantics row-for-row."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..runtime import pool_concurrency
+    from ..stages.validate_batch import ValidateImagesBatch
+    dirty, _ = _image_table_dir(sf_dir)
+    vocab = pq.read_table(f"{dirty}/vocab.parquet").column("label").to_pylist()
+    events = rd.read_parquet(f"{dirty}/images").map_batches(
+        ValidateImagesBatch,
+        fn_constructor_kwargs=dict(decode=False, exemplar_cap=0, vocab=vocab),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=512,
+        concurrency=pool_concurrency(), num_cpus=1)
+    rc = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "rule_count"))
+        .select(["rule_id", "severity", "count"]), batch_format="pyarrow")
+    agg = (rc.groupby(["rule_id", "severity"])
+           .aggregate(Sum("count", alias_name="violations")).to_pandas())
+    base = pd.DataFrame(IMG_SCALAR_RULES, columns=["rule_id", "severity"])
+    out = base.merge(agg, on=["rule_id", "severity"], how="left")
+    out["violations"] = out["violations"].fillna(0).astype("int64")
+    return out.sort_values(["rule_id", "severity"]).reset_index(drop=True)
+
+
+def q_img_cross_counts(sf_dir: str) -> pd.DataFrame:
+    """Uniqueness / referential (with external catalog) / near-dup counts via
+    the ONE fused shuffle — verified against plain SQL group-bys."""
+    import ray.data as rd
+    dirty, _ = _image_table_dir(sf_dir)
+    narrow = rd.read_parquet(f"{dirty}/images", columns=["image_id", "phash"],
+                             override_num_blocks=16)
+    caps = rd.read_parquet(f"{dirty}/captions.parquet").select_columns(
+        ["image_id"])
+    cat = rd.read_parquet(f"{dirty}/catalog.parquet")
+    dup, missing, near, external = groups.fused_cross_record_counts(
+        narrow, caps, catalog_keys=cat)
+
+    def i64(v):
+        return pd.array([int(v)], dtype="int64")
+    return pd.DataFrame({
+        "dup_ids": i64(len(dup)),
+        "dup_rows": i64(dup["cnt"].sum() if len(dup) else 0),
+        "orphan_ids": i64(len(missing)),
+        "orphan_refs": i64(missing["left_cnt"].sum() if len(missing) else 0),
+        "external_ids": i64(len(external)),
+        "external_refs": i64(external["left_cnt"].sum() if len(external) else 0),
+        "neardup_clusters": i64(len(near)),
+        "neardup_rows": i64(near["cnt"].sum() if len(near) else 0)})
+
+
+def _img_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL for the image-table queries at the driver's comparison
+    scale (sf0.01 → n=10000); paths resolve to the deterministic generated
+    parquet under /tmp/fpv_imgtable."""
+    from ..imagetable import datagen
+    p = f"/tmp/fpv_imgtable/{datagen.table_tag(10000, 42, 4, True, True)}"
+    img = f"read_parquet('{p}/images/*.parquet')"
+    caps = f"read_parquet('{p}/captions.parquet')"
+    cat = f"read_parquet('{p}/catalog.parquet')"
+    vocab_sql = ", ".join(f"'{v}'" for v in sorted(datagen.VOCAB))
+    formats = ", ".join(f"'{f}'" for f in ("jpeg", "png", "webp"))
+    err_sents = "'not applicable', 'not collected', 'not provided'"
+    scalar = f"""
+WITH n AS (SELECT *, NULLIF(lower(trim(fmt)), '') AS nfmt FROM {img})
+SELECT * FROM (
+SELECT 'conditional.phash_for_lossy' AS rule_id, 'error' AS severity,
+       CAST(count(*) FILTER (WHERE nfmt = 'jpeg' AND phash IS NULL) AS BIGINT)
+       AS violations FROM n
+UNION ALL SELECT 'consistency.caption_label', 'warning',
+       CAST(count(*) FILTER (WHERE label IN ({vocab_sql}) AND caption IS NOT NULL
+            AND NOT regexp_matches(caption, '\\b' || label || '\\b')) AS BIGINT)
+       FROM n
+UNION ALL SELECT 'datepattern.collected_date', 'error',
+       CAST(count(*) FILTER (WHERE collected_date IS NOT NULL
+            AND date_unit IN ('YYYY-MM-DD', 'YYYY-MM', 'YYYY')
+            AND NOT regexp_matches(collected_date,
+                CASE date_unit WHEN 'YYYY-MM-DD' THEN '^\\d{{4}}-\\d{{2}}-\\d{{2}}$'
+                     WHEN 'YYYY-MM' THEN '^\\d{{4}}-\\d{{2}}$'
+                     ELSE '^\\d{{4}}$' END)) AS BIGINT) FROM n
+UNION ALL SELECT 'datevalid.collected_date', 'error',
+       CAST(count(*) FILTER (WHERE date_unit = 'YYYY-MM-DD'
+            AND collected_date IS NOT NULL
+            AND regexp_matches(collected_date, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+            AND try_strptime(collected_date, '%Y-%m-%d') IS NULL) AS BIGINT)
+       FROM n
+UNION ALL SELECT 'enum.fmt', 'error',
+       CAST(count(*) FILTER (WHERE nfmt IS NOT NULL
+            AND nfmt NOT IN ('restricted access', {err_sents})
+            AND nfmt NOT IN ({formats})) AS BIGINT) FROM n
+UNION ALL SELECT 'normalize.fmt', 'warning',
+       CAST(count(*) FILTER (WHERE fmt IS NOT NULL
+            AND (nfmt IS NULL OR fmt <> nfmt)) AS BIGINT) FROM n
+UNION ALL SELECT 'pattern.image_id', 'error',
+       CAST(count(*) FILTER (WHERE image_id IS NOT NULL
+            AND NOT regexp_matches(image_id, '^IMG_[0-9]{{12}}$')) AS BIGINT)
+       FROM n
+UNION ALL SELECT 'range.dims', 'error',
+       CAST(count(*) FILTER (WHERE w IS NOT NULL AND h IS NOT NULL
+            AND (w <= 0 OR h <= 0
+                 OR CAST(w AS BIGINT) * CAST(h AS BIGINT) > 16777216))
+            AS BIGINT) FROM n
+UNION ALL SELECT 'recommended.caption', 'warning',
+       CAST(count(*) FILTER (WHERE caption IS NULL) AS BIGINT) FROM n
+UNION ALL SELECT 'recommended.phash', 'warning',
+       CAST(count(*) FILTER (WHERE phash IS NULL) AS BIGINT) FROM n
+UNION ALL SELECT 'required.bytes', 'error',
+       CAST(count(*) FILTER (WHERE bytes IS NULL) AS BIGINT) FROM n
+UNION ALL SELECT 'required.image_id', 'error',
+       CAST(count(*) FILTER (WHERE image_id IS NULL) AS BIGINT) FROM n
+UNION ALL SELECT 'sentinel.fmt', 'error',
+       CAST(count(*) FILTER (WHERE nfmt IN ({err_sents})) AS BIGINT) FROM n
+UNION ALL SELECT 'sentinel.fmt', 'warning',
+       CAST(count(*) FILTER (WHERE nfmt = 'restricted access') AS BIGINT) FROM n
+UNION ALL SELECT 'vocab.label', 'error',
+       CAST(count(*) FILTER (WHERE label IS NOT NULL
+            AND label NOT IN ({vocab_sql})) AS BIGINT) FROM n
+) ORDER BY rule_id, severity
+"""
+    cross = f"""
+WITH img AS (SELECT image_id, phash FROM {img}),
+dup AS (SELECT image_id, count(*) AS c FROM img WHERE image_id IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2),
+orph AS (SELECT c.image_id, count(*) AS c FROM {caps} c
+         WHERE c.image_id IS NOT NULL AND c.image_id NOT IN
+               (SELECT image_id FROM img WHERE image_id IS NOT NULL)
+         GROUP BY 1),
+miss AS (SELECT * FROM orph
+         WHERE image_id NOT IN (SELECT image_id FROM {cat})),
+ext AS (SELECT * FROM orph
+        WHERE image_id IN (SELECT image_id FROM {cat})),
+nd AS (SELECT phash, count(*) AS c FROM img WHERE phash IS NOT NULL
+       GROUP BY 1 HAVING count(*) >= 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dup) AS dup_ids,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dup) AS dup_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM miss) AS orphan_ids,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM miss) AS orphan_refs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ext) AS external_ids,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ext) AS external_refs,
+       (SELECT CAST(count(*) AS BIGINT) FROM nd) AS neardup_clusters,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM nd) AS neardup_rows
+"""
+    return {"img_scalar_counts": scalar, "img_cross_counts": cross}
+
+
 QUERIES = {
     # rule engine over TPC-H tables (DuckDB-verified)
     "rules_orders": q_rules_orders,
@@ -836,7 +1017,10 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "neardup_clusters_documents": q_neardup_clusters_documents,
-    # flagship image validation (rows-only: inputs are synthesized, not views)
+    # flagship image validation — oracle-verified over the generated parquet
+    "img_scalar_counts": q_img_scalar_counts,
+    "img_cross_counts": q_img_cross_counts,
+    # flagship image validation (rows-only: decode-dependent / composite)
     "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
     "img_verdicts": q_img_verdicts,
@@ -869,4 +1053,5 @@ ORACLES = {
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    **_img_oracle_sqls(),
 }
