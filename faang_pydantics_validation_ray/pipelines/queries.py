@@ -67,7 +67,7 @@ def rule_violation_counts(ds, ruleset: RuleSet, all_rules: list[tuple[str, str]]
     return out.sort_values("rule_id").reset_index(drop=True)
 
 
-def q_rules_orders(sf_dir: str) -> pd.DataFrame:
+def ruleset_orders() -> tuple[RuleSet, list[tuple[str, str]]]:
     rs = RuleSet(key_column="o_orderkey")
     rs.add("enum.o_orderstatus", "o_orderstatus",
            kernels.enum_in("o_orderstatus", ["O", "F"]))
@@ -76,9 +76,14 @@ def q_rules_orders(sf_dir: str) -> pd.DataFrame:
     rs.add("pattern.o_orderpriority", "o_orderpriority",
            kernels.regex("o_orderpriority", r"^[1-5]-"))
     rs.add("required.o_custkey", "o_custkey", kernels.required("o_custkey"))
-    return rule_violation_counts(_read(sf_dir, "orders"), rs, [
+    return rs, [
         ("enum.o_orderstatus", "error"), ("range.o_totalprice", "error"),
-        ("pattern.o_orderpriority", "error"), ("required.o_custkey", "error")])
+        ("pattern.o_orderpriority", "error"), ("required.o_custkey", "error")]
+
+
+def q_rules_orders(sf_dir: str) -> pd.DataFrame:
+    rs, decl = ruleset_orders()
+    return rule_violation_counts(_read(sf_dir, "orders"), rs, decl)
 
 
 SQL_RULES_ORDERS = """
@@ -97,7 +102,7 @@ ORDER BY rule_id
 """
 
 
-def q_rules_lineitem(sf_dir: str) -> pd.DataFrame:
+def ruleset_lineitem() -> tuple[RuleSet, list[tuple[str, str]]]:
     rs = RuleSet(key_column="l_orderkey")
     rs.add("range.l_quantity", "l_quantity",
            kernels.numeric_range("l_quantity", lo=1, hi=45))
@@ -110,9 +115,14 @@ def q_rules_lineitem(sf_dir: str) -> pd.DataFrame:
         lambda rf, tax: np.asarray(pc.and_(pc.equal(rf, "R"),
                                            pc.greater(tax, 0.06))),
         "returned lines must not exceed 6% tax"))
-    return rule_violation_counts(_read(sf_dir, "lineitem"), rs, [
+    return rs, [
         ("range.l_quantity", "error"), ("range.l_discount", "warning"),
-        ("enum.l_returnflag", "error"), ("xfield.returned_tax", "error")])
+        ("enum.l_returnflag", "error"), ("xfield.returned_tax", "error")]
+
+
+def q_rules_lineitem(sf_dir: str) -> pd.DataFrame:
+    rs, decl = ruleset_lineitem()
+    return rule_violation_counts(_read(sf_dir, "lineitem"), rs, decl)
 
 
 SQL_RULES_LINEITEM = """
@@ -132,13 +142,17 @@ ORDER BY rule_id
 """
 
 
-def q_rules_customer(sf_dir: str) -> pd.DataFrame:
+def ruleset_customer() -> tuple[RuleSet, list[tuple[str, str]]]:
     rs = RuleSet(key_column="c_custkey")
     rs.add("range.c_acctbal", "c_acctbal",
            kernels.numeric_range("c_acctbal", lo=0, severity="warning"))
     rs.add("pattern.c_name", "c_name", kernels.regex("c_name", r"^Customer#"))
-    return rule_violation_counts(_read(sf_dir, "customer"), rs, [
-        ("range.c_acctbal", "warning"), ("pattern.c_name", "error")])
+    return rs, [("range.c_acctbal", "warning"), ("pattern.c_name", "error")]
+
+
+def q_rules_customer(sf_dir: str) -> pd.DataFrame:
+    rs, decl = ruleset_customer()
+    return rule_violation_counts(_read(sf_dir, "customer"), rs, decl)
 
 
 SQL_RULES_CUSTOMER = """
@@ -152,16 +166,21 @@ ORDER BY rule_id
 """
 
 
-def q_rules_events(sf_dir: str) -> pd.DataFrame:
+def ruleset_events() -> tuple[RuleSet, list[tuple[str, str]]]:
     rs = RuleSet(key_column="event_id")
     rs.add("range.value", "value",
            kernels.numeric_range("value", lo=0, hi=400, severity="warning"))
     rs.add("enum.event_type", "event_type", kernels.enum_in(
         "event_type", ["purchase", "error", "view", "click", "signup"]))
     rs.add("required.props", "props", kernels.required("props"))
-    return rule_violation_counts(_read(sf_dir, "events"), rs, [
+    return rs, [
         ("range.value", "warning"), ("enum.event_type", "error"),
-        ("required.props", "error")])
+        ("required.props", "error")]
+
+
+def q_rules_events(sf_dir: str) -> pd.DataFrame:
+    rs, decl = ruleset_events()
+    return rule_violation_counts(_read(sf_dir, "events"), rs, decl)
 
 
 SQL_RULES_EVENTS = """
@@ -802,6 +821,68 @@ def q_img_features(sf_dir: str) -> pd.DataFrame:
     return agg
 
 
+# ------------------------------------------------- unified multi-type run
+
+
+def q_unified_summary(sf_dir: str) -> pd.DataFrame:
+    """Multi-record-type unified run (graft of the reference's
+    unified_validator): orders + lineitem + customer + events validated in
+    one call, per-type summaries plus the cross-type ``total`` rollup.
+    Reference semantics: warn-only rows count as valid."""
+    from .unified import validate_many
+    return validate_many({
+        "orders": (_read(sf_dir, "orders"), ruleset_orders()[0]),
+        "lineitem": (_read(sf_dir, "lineitem"), ruleset_lineitem()[0]),
+        "customer": (_read(sf_dir, "customer"), ruleset_customer()[0]),
+        "events": (_read(sf_dir, "events"), ruleset_events()[0]),
+    })
+
+
+SQL_UNIFIED_SUMMARY = """
+WITH
+o AS (SELECT COALESCE(o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O','F'), FALSE)
+          OR COALESCE(o_totalprice < 0 OR o_totalprice > 450000, FALSE)
+          OR COALESCE(o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+          OR (o_custkey IS NULL) AS err,
+          FALSE AS warn
+      FROM orders),
+l AS (SELECT COALESCE(l_quantity < 1 OR l_quantity > 45, FALSE)
+          OR COALESCE(l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A','N','R'), FALSE)
+          OR COALESCE(l_returnflag = 'R' AND l_tax > 0.06, FALSE) AS err,
+          COALESCE(l_discount < 0 OR l_discount > 0.06, FALSE) AS warn
+      FROM lineitem),
+c AS (SELECT COALESCE(c_name IS NOT NULL
+                      AND NOT regexp_matches(c_name, '^Customer#'), FALSE) AS err,
+          COALESCE(c_acctbal < 0, FALSE) AS warn FROM customer),
+e AS (SELECT COALESCE(event_type IS NOT NULL AND event_type NOT IN
+                      ('purchase','error','view','click','signup'), FALSE)
+          OR (props IS NULL) AS err,
+          COALESCE(value < 0 OR value > 400, FALSE) AS warn FROM events),
+s AS (
+  SELECT 'customer' AS record_type, count(*) AS total,
+         count(*) FILTER (WHERE err) AS inv,
+         count(*) FILTER (WHERE NOT err AND warn) AS w FROM c
+  UNION ALL SELECT 'events', count(*), count(*) FILTER (WHERE err),
+         count(*) FILTER (WHERE NOT err AND warn) FROM e
+  UNION ALL SELECT 'lineitem', count(*), count(*) FILTER (WHERE err),
+         count(*) FILTER (WHERE NOT err AND warn) FROM l
+  UNION ALL SELECT 'orders', count(*), count(*) FILTER (WHERE err),
+         count(*) FILTER (WHERE NOT err AND warn) FROM o
+)
+SELECT record_type, CAST(total AS BIGINT) AS total,
+       CAST(total - inv AS BIGINT) AS valid, CAST(inv AS BIGINT) AS invalid,
+       CAST(w AS BIGINT) AS warnings FROM s
+UNION ALL
+SELECT 'total', CAST(SUM(total) AS BIGINT),
+       CAST(SUM(total) - SUM(inv) AS BIGINT), CAST(SUM(inv) AS BIGINT),
+       CAST(SUM(w) AS BIGINT) FROM s
+ORDER BY record_type
+"""
+
+
 # ---------------------------- flagship queries with DuckDB oracles
 #
 # The generated image table is plain parquet under /tmp/fpv_imgtable, so the
@@ -987,6 +1068,7 @@ QUERIES = {
     "rules_events": q_rules_events,
     "rules_documents": q_rules_documents,
     "rules_embeddings": q_rules_embeddings,
+    "unified_summary": q_unified_summary,
     # aggregation / sort / window (DuckDB-verified)
     "q1_pricing": q1_pricing,
     "stats_lineitem": q_stats_lineitem,
@@ -1036,6 +1118,7 @@ ORACLES = {
     "rules_events": SQL_RULES_EVENTS,
     "rules_documents": SQL_RULES_DOCUMENTS,
     "rules_embeddings": SQL_RULES_EMBEDDINGS,
+    "unified_summary": SQL_UNIFIED_SUMMARY,
     "q1_pricing": SQL_Q1,
     "stats_lineitem": SQL_STATS_LINEITEM,
     "events_window": SQL_EVENTS_WINDOW,

@@ -138,3 +138,34 @@ def test_violation_explosion_bounded(ray_session):
     assert res.violations.num_rows <= cap * len(rc) * n_batches
     assert res.violations.num_rows < n
     assert res.summary["invalid"] == n
+
+
+def test_unified_multi_type_rollup(ray_session):
+    """Unified multi-record-type run (reference unified_validator semantics):
+    per-type summaries + cross-type total; warn-only rows count as VALID."""
+    import pandas as pd
+    import ray.data as rd
+    from faang_pydantics_validation_ray.pipelines.unified import validate_many
+    from faang_pydantics_validation_ray.rules import kernels
+    from faang_pydantics_validation_ray.rules.spec import RuleSet
+
+    rs_a = RuleSet(key_column="k")
+    rs_a.add("required.v", "v", kernels.required("v"))
+    rs_a.add("range.w", "w", kernels.numeric_range("w", lo=0, severity="warning"))
+    a = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": ["x", None, "y", "z"],       # 1 error row
+        "w": [1.0, 5.0, -1.0, 2.0]}))     # row 3: warning only
+    rs_b = RuleSet(key_column="k")
+    rs_b.add("required.v", "v", kernels.required("v"))
+    b = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+
+    out = validate_many({"alpha": (a, rs_a), "beta": (b, rs_b)})
+    byt = out.set_index("record_type")
+    assert byt.loc["alpha"].to_dict() == {
+        "total": 4, "valid": 3, "invalid": 1, "warnings": 1}
+    assert byt.loc["beta"].to_dict() == {
+        "total": 2, "valid": 2, "invalid": 0, "warnings": 0}
+    assert byt.loc["total"].to_dict() == {
+        "total": 6, "valid": 5, "invalid": 1, "warnings": 1}
+    assert list(out["record_type"]) == ["alpha", "beta", "total"]
