@@ -223,6 +223,27 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     return dup, missing, near, external
 
 
+def collect_list_agg(col: str, name: str | None = None):
+    """Distributed list-collection aggregate (A3 variant): gathers the
+    group's ``col`` values into one list per key. Use ONLY where per-key
+    cardinality is bounded (e.g. captions per image); an unbounded hot key
+    would accumulate a single huge list."""
+    import pandas as _pd
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc: list, block) -> list:
+        if isinstance(block, pa.Table):
+            return acc + block.column(col).to_pylist()
+        if isinstance(block, _pd.DataFrame):
+            return acc + block[col].tolist()
+        return acc + [row[col] for row in block]
+
+    return AggregateFn(init=lambda k: [], merge=lambda a, b: a + b,
+                       accumulate_block=acc_block,
+                       name=name or f"{col}_list")
+
+
 def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.Dataset":
     """Keys present in ``left`` but absent from ``right`` → (key, left_cnt).
 

@@ -5,15 +5,23 @@ Graft of the reference's BioSamples-format projection of valid records
 ``characteristics{...}`` + ``relationships[]`` nested doc): here every row
 with NO error-severity violation is projected into a nested export doc —
 ``characteristics`` struct (dims/format/caption metadata) + the original
-payload — and written as partitioned parquet.
+payload + optional ``relationships[]`` links to its caption records — and
+written as partitioned parquet.
 
 The invalid-key set is exemplar-independent: the same scalar+decode rules are
 re-evaluated per batch (cheap, one pass), so export does not depend on a
 prior validation run's exemplar caps. Cross-record errors (duplicates,
 orphan refs) are passed in as a broadcast key set.
+
+Join note: Arrow's hash join rejects nested (struct/list) non-key columns,
+so the pipeline keeps docs FLAT through the relationships join (the caption
+side is collapsed to a JSON string per image) and builds both nested columns
+in one final vectorized pass.
 """
 
 from __future__ import annotations
+
+import json
 
 import numpy as np
 import pyarrow as pa
@@ -21,15 +29,20 @@ import pyarrow as pa
 from ..rules import image_rules
 from ..stages.decode import DecodeChecker
 
+_FLAT_CHARS = ("w", "h", "fmt", "caption", "phash")
+_CHAR_NAMES = ("width", "height", "format", "caption", "phash")
+
 
 class ExportCleanBatch:
     """Actor-pool stage: evaluate rules, keep rows with no error, project to
-    the nested export schema. ``bad_keys_ref`` is a ``ray.put`` broadcast of
-    cross-record-invalid image_ids (or None)."""
+    the FLAT export columns (nesting happens in the final pass — nested
+    columns cannot ride through the relationships hash join).
+    ``bad_keys_ref`` is a ``ray.put`` broadcast of cross-record-invalid
+    image_ids (or None)."""
 
     def __init__(self, bad_keys_ref=None, decode: bool = True, seed: int = 42,
-                 psnr_min: float = 40.0):
-        self.ruleset = image_rules.build_image_ruleset()
+                 psnr_min: float = 40.0, vocab=None):
+        self.ruleset = image_rules.build_image_ruleset(vocab=vocab)
         self.decoder = DecodeChecker(psnr_min=psnr_min, seed=seed) if decode else None
         if bad_keys_ref is not None:
             import ray
@@ -46,35 +59,91 @@ class ExportCleanBatch:
             ids = norm.column("image_id").to_pylist()
             keep &= np.array([i not in self.bad_keys for i in ids])
         clean = norm.filter(pa.array(keep))
-        characteristics = pa.StructArray.from_arrays(
-            [clean.column(c).combine_chunks() for c in
-             ("w", "h", "fmt", "caption", "phash")],
-            names=["width", "height", "format", "caption", "phash"])
-        return pa.table({
-            "image_id": clean.column("image_id"),
-            "characteristics": characteristics,
-            "payload": clean.column("bytes"),
-            "partition_id": clean.column("partition_id")
-            if "partition_id" in clean.column_names
-            else pa.array(np.zeros(clean.num_rows, dtype=np.int32)),
-        })
+        cols = {"image_id": clean.column("image_id")}
+        for src in _FLAT_CHARS:
+            cols[src] = clean.column(src)
+        cols["payload"] = clean.column("bytes")
+        cols["partition_id"] = (clean.column("partition_id")
+                                if "partition_id" in clean.column_names
+                                else pa.array(np.zeros(clean.num_rows,
+                                                       dtype=np.int32)))
+        return pa.table(cols)
+
+
+def _nest_docs(t: pa.Table) -> pa.Table:
+    """Final vectorized projection: flat columns → characteristics{} (+
+    relationships[] from the joined JSON caption-id lists, when present)."""
+    characteristics = pa.StructArray.from_arrays(
+        [t.column(src).combine_chunks() for src in _FLAT_CHARS],
+        names=list(_CHAR_NAMES))
+    out = {"image_id": t.column("image_id"),
+           "characteristics": characteristics,
+           "payload": t.column("payload"),
+           "partition_id": t.column("partition_id")}
+    if "caption_ids_json" in t.column_names:
+        lists = [json.loads(v) if v is not None else []
+                 for v in t.column("caption_ids_json").to_pylist()]
+        flat = [c for lst in lists for c in lst]
+        offsets = np.zeros(len(lists) + 1, dtype=np.int32)
+        np.cumsum([len(x) for x in lists], out=offsets[1:])
+        out["relationships"] = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(["described_by"] * len(flat), type=pa.string()),
+                 pa.array(flat, type=pa.string())],
+                names=["type", "target"]))
+    return pa.table(out)
+
+
+def _attach_relationships(docs_ds, captions_ds, num_partitions: int):
+    """relationships[] graft: caption ids are list-collected per image_id
+    with a distributed aggregate (JSON-encoded so the payload is a plain
+    string through the hash join), LEFT-joined onto the flat docs — no
+    broadcast of a table-sized side; docs co-partition by image_id, the
+    pipeline's single partitioning key."""
+    from ..functions.groups import collect_list_agg
+
+    links = (captions_ds.select_columns(["image_id", "caption_id"])
+             .groupby("image_id")
+             .aggregate(collect_list_agg("caption_id", "caption_ids"))
+             .map_batches(lambda df: df.assign(
+                 caption_ids_json=df["caption_ids"].map(
+                     lambda v: json.dumps(sorted(v))))
+                 .drop(columns=["caption_ids"]), batch_format="pandas"))
+    return docs_ds.join(links, join_type="left_outer",
+                        num_partitions=num_partitions, on=("image_id",))
 
 
 def export_clean_images(images_ds, bad_keys: list[str] | None = None,
                         out_dir: str | None = None, concurrency=None,
-                        batch_size: int = 512):
+                        batch_size: int = 512, captions_ds=None, vocab=None):
     """→ Dataset of export docs for valid rows; writes partitioned parquet
-    when ``out_dir`` is given (streamed, never materialized)."""
+    when ``out_dir`` is given (streamed, never materialized).
+
+    With ``captions_ds``, each doc additionally carries ``relationships[]``
+    (described_by links to its caption records) — the full BioSamples-format
+    graft: characteristics{} + payload + relationships[]."""
     import ray
+
+    from ..runtime import shuffle_partitions
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, cpus - 2)
+    if captions_ds is not None and isinstance(concurrency, int):
+        # the relationships hash join runs aggregator actors CONCURRENTLY
+        # with this pool — a fixed pool that leaves them no CPUs deadlocks
+        # the stream (measured at 4 cpus); an autoscaling pool can yield
+        concurrency = (1, concurrency)
     ref = ray.put(bad_keys or [])
     ds = images_ds.map_batches(
-        ExportCleanBatch, fn_constructor_kwargs=dict(bad_keys_ref=ref),
+        ExportCleanBatch, fn_constructor_kwargs=dict(bad_keys_ref=ref,
+                                                     vocab=vocab),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+    if captions_ds is not None:
+        ds = _attach_relationships(ds, captions_ds, shuffle_partitions())
+    ds = ds.map_batches(_nest_docs, batch_format="pyarrow")
     if out_dir is not None:
         ds.write_parquet(out_dir, partition_cols=["partition_id"])
     return ds

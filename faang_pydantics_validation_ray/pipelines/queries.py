@@ -712,21 +712,31 @@ def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
 
 def q_img_export_clean(sf_dir: str) -> pd.DataFrame:
     """S5 clean export on the flagship table: valid rows projected to nested
-    export docs; returns summary counts (payloads stay distributed)."""
+    export docs — characteristics{} + payload + relationships[] (described_by
+    caption links via the distributed list-collect + left join); returns
+    summary counts (payloads stay distributed)."""
     import ray.data as rd
     from .export import export_clean_images
     dirty, _ = _image_table_dir(sf_dir)
     res = _run_flagship(sf_dir)
+    vocab = pq.read_table(f"{dirty}/vocab.parquet").column("label").to_pylist()
     bad = [k for k, r in zip(res.violations.column("image_id").to_pylist(),
                              res.violations.column("rule_id").to_pylist())
            if r in ("unique.image_id",) and k is not None]
     ds = export_clean_images(
         rd.read_parquet(f"{dirty}/images", override_num_blocks=16),
-        bad_keys=bad)
-    n = ds.count()
-    return pd.DataFrame({"exported_rows": pd.array([n], dtype="int64"),
-                         "source_rows": pd.array([res.summary["total"]],
-                                                 dtype="int64")})
+        bad_keys=bad, vocab=vocab,
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"))
+    rel = ds.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], type=pa.int64()),
+            "rels": pa.array([int(pc.sum(pc.list_value_length(
+                t.column("relationships"))).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "exported_rows": pd.array([int(rel["rows"].sum())], dtype="int64"),
+        "relationship_links": pd.array([int(rel["rels"].sum())], dtype="int64"),
+        "source_rows": pd.array([res.summary["total"]], dtype="int64")})
 
 
 def q_img_violation_exemplars(sf_dir: str) -> pd.DataFrame:

@@ -45,3 +45,34 @@ def render_report(res: ValidationResult, max_exemplars: int = 5) -> str:
             f"err_rate={row['error_rate']:.4f} max_psi={row['max_psi']:.3f} {status}")
     lines.append("=" * 64)
     return "\n".join(lines)
+
+
+def render_detail_report(res: ValidationResult, max_records: int = 50) -> str:
+    """Per-record drill-down for SMALL result sets — graft of the reference's
+    detailed per-type report, which lists every invalid record with its field
+    errors (/root/reference/base_validator.py:196-267).
+
+    Renders from the exemplar violation rows (bounded by the exemplar caps),
+    grouped per record key; ``max_records`` bounds the listing, with an
+    explicit truncation line so a capped report never reads as complete."""
+    v = res.violations
+    per_rec: dict[str, list[str]] = {}
+    order: list[str] = []
+    for rule, key, sev, field, msg in zip(
+            v.column("rule_id").to_pylist(), v.column("image_id").to_pylist(),
+            v.column("severity").to_pylist(), v.column("field").to_pylist(),
+            v.column("message").to_pylist()):
+        k = str(key)
+        if k not in per_rec:
+            per_rec[k] = []
+            order.append(k)
+        per_rec[k].append(f"    [{sev.upper():7s}] {field}: {msg} ({rule})")
+    lines = ["=" * 64, "PER-RECORD VALIDATION DETAIL", "=" * 64]
+    for k in sorted(order)[:max_records]:
+        lines.append(f"  record {k}:")
+        lines.extend(per_rec[k])
+    if len(order) > max_records:
+        lines.append(f"  ... {len(order) - max_records} more records "
+                     "(exemplar-capped; see rule_counts for exact totals)")
+    lines.append("=" * 64)
+    return "\n".join(lines)

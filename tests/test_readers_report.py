@@ -82,3 +82,43 @@ def test_export_clean_images(ray_session, tmp_path):
     import os
     assert any(p.startswith("partition_id=") for p in
                os.listdir(tmp_path / "export"))
+
+
+def test_export_relationships(ray_session):
+    """Export docs carry relationships[] described_by links to the caption
+    records (distributed list-collect + left join; BioSamples-format graft)."""
+    import ray.data as rd
+    from faang_pydantics_validation_ray.pipelines.export import export_clean_images
+    n = 600
+    d = datagen.ensure_image_table(n=n, seed=42, n_files=2)
+    out = export_clean_images(
+        rd.read_parquet(f"{d}/images"), concurrency=2,
+        captions_ds=rd.read_parquet(f"{d}/captions.parquet")).to_pandas()
+    assert "relationships" in out.columns
+    caps = pq.read_table(f"{d}/captions.parquet").to_pandas()
+    by_img = caps.groupby("image_id")["caption_id"].apply(set).to_dict()
+    checked_nonempty = 0
+    for _, row in out.head(200).iterrows():
+        rels = list(row.relationships)
+        expect = by_img.get(row.image_id, set())
+        assert {r["target"] for r in rels} == expect
+        assert all(r["type"] == "described_by" for r in rels)
+        checked_nonempty += bool(rels)
+    assert checked_nonempty > 150  # most images have a caption link
+
+
+def test_detail_report_renders(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.pipelines.report import render_detail_report
+    from faang_pydantics_validation_ray.pipelines.validate import (
+        ValidationOptions, validate_images,
+    )
+    d = datagen.ensure_image_table(n=1000, seed=42, n_files=2)
+    res = validate_images(rd.read_parquet(f"{d}/images"),
+                          captions_ds=rd.read_parquet(f"{d}/captions.parquet"),
+                          opts=ValidationOptions(batch_size=256, concurrency=2))
+    rep = render_detail_report(res, max_records=5)
+    assert "PER-RECORD VALIDATION DETAIL" in rep
+    assert "record " in rep and "more records" in rep  # truncation disclosed
+    full = render_detail_report(res, max_records=10**6)
+    assert "more records" not in full
