@@ -72,6 +72,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                                        violations=False, drift=False,
                                        use_ray=True)
     ref = build_reference_profile(rd.read_parquet(f"{clean}/images"))
+    import pyarrow.parquet as pq
+    vocab = pq.read_table(f"{dirty}/vocab.parquet").column("label").to_pylist()
     # warm OS page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(f"{dirty}/images",
                     columns=["image_id"]).count()
@@ -86,7 +88,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             narrow_ds=rd.read_parquet(f"{dirty}/images",
                                       columns=["image_id", "phash"],
                                       override_num_blocks=num_cpus),
-            ref_profile=ref, opts=opts)
+            ref_profile=ref, opts=opts,
+            catalog_ds=rd.read_parquet(f"{dirty}/catalog.parquet"),
+            vocab=vocab)
 
     if os.environ.get("RAY_GRAFT_WARMUP"):
         import gc

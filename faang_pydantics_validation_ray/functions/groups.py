@@ -110,7 +110,16 @@ def collect_exemplars(ds: "rd.Dataset", key: str, row_key: str,
         df = sub.to_pandas().groupby(key, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    # distributed per-key head BEFORE the driver sees anything: the filtered
+    # partials are ≤ k rows per key per batch, which for a hot key on a
+    # 10^12-row table is still k × #batches — the groupby caps it to k rows
+    # per key (deterministic: smallest row_keys win), so the driver result
+    # is bounded by k × #dup-keys
+    partials = (ds.map_batches(per_batch, batch_format="pyarrow")
+                .groupby(key)
+                .map_groups(lambda g: g.sort_values(row_key).head(k),
+                            batch_format="pandas")
+                .to_pandas())
     ex = (partials.groupby(key)[row_key]
           .apply(lambda s: [str(v) for v in s.head(k)]).rename("exemplars")
           .reset_index())
