@@ -602,6 +602,135 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+COMPAT_SEGMENTS = {
+    # J3 graft (/root/reference/generic_validator_classes.py:604-636,
+    # constants.py:139-154 ALLOWED_RELATIONSHIPS): the referenced entity's
+    # category must be compatible with the referencing row's type
+    "purchase": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    "signup": ["BUILDING", "HOUSEHOLD"],
+}
+
+
+def q_compat_join(sf_dir: str) -> pd.DataFrame:
+    """J3 material-compatibility join: events⋈customer on user_id, count
+    rows whose customer's mktsegment is NOT allowed for the event_type
+    (join + per-batch is_in against the broadcast compatibility table) —
+    ONE hash join for both the violation and the checked-row counts."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def bad_pred(t: pa.Table):
+        bad = pa.array(np.zeros(t.num_rows, dtype=bool))
+        for etype, allowed in COMPAT_SEGMENTS.items():
+            is_e = pc.equal(t.column("event_type"), etype)
+            ok = pc.is_in(t.column("c_mktsegment"),
+                          value_set=pa.array(allowed))
+            bad = pc.or_kleene(bad, pc.and_kleene(is_e, pc.invert(ok)))
+        return bad
+
+    def checked_pred(t: pa.Table):
+        return pc.is_in(t.column("event_type"),
+                        value_set=pa.array(sorted(COMPAT_SEGMENTS)))
+
+    counts = joins.join_flag_counts(
+        ev, cu, "user_id", "c_custkey",
+        {"incompatible_rows": bad_pred, "checked_rows": checked_pred})
+    return pd.DataFrame({
+        "incompatible_rows": pd.array([counts["incompatible_rows"]],
+                                      dtype="int64"),
+        "checked_rows": pd.array([counts["checked_rows"]], dtype="int64")})
+
+
+SQL_COMPAT_JOIN = """
+SELECT CAST(count(*) FILTER (WHERE
+         (event_type = 'purchase'
+          AND c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+         OR (event_type = 'signup'
+             AND c_mktsegment NOT IN ('BUILDING','HOUSEHOLD'))) AS BIGINT)
+         AS incompatible_rows,
+       CAST(count(*) FILTER (WHERE event_type IN ('purchase','signup'))
+            AS BIGINT) AS checked_rows
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """§2.7 sliding windows (2h width, 1h step): each event lands in two
+    windows via a vectorized per-batch expansion, then ONE groupby — no
+    per-window passes."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("h")
+        out = pd.concat([
+            pd.DataFrame({"window_start": base - pd.Timedelta(hours=k),
+                          "event_type": df["event_type"],
+                          "value": df["value"]})
+            for k in (0, 1)], ignore_index=True)
+        return out
+
+    out = (ds.map_batches(expand, batch_format="pandas")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS off(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """§2.7 session windows (30-min inactivity gap) per user: genuinely
+    per-key sequential state, expressed as ONE groupby(user).map_groups with
+    a vectorized gap diff inside — the documented partitioning assumption is
+    per-user locality (the standard sessionization shuffle)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gaps.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    per_user = (ds.groupby("user_id")
+                .map_groups(sessions, batch_format="pandas").to_pandas())
+    total_sessions = int(per_user["n_sessions"].sum())
+    total_events = int(per_user["n_events"].sum())
+    return pd.DataFrame({
+        "users": pd.array([len(per_user)], dtype="int64"),
+        "sessions": pd.array([total_sessions], dtype="int64"),
+        "events_per_session": pd.array(
+            [round(total_events / total_sessions, 4)], dtype="float64")})
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      FROM g GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(SUM(n_sessions) AS BIGINT) AS sessions,
+       ROUND(SUM(n_events) / CAST(SUM(n_sessions) AS DOUBLE), 4)
+           AS events_per_session
+FROM s
+"""
+
+
 def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
     """A3 distinct-set collection via Dataset.unique."""
     vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
@@ -1099,6 +1228,9 @@ QUERIES = {
     "simhash_neardup_documents": q_simhash_neardup_documents,
     # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
+    "compat_join": q_compat_join,
+    "events_sliding_window": q_events_sliding_window,
+    "events_sessions": q_events_sessions,
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
     "export_valid_orders": q_export_valid_orders,
@@ -1142,6 +1274,9 @@ ORACLES = {
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
+    "compat_join": SQL_COMPAT_JOIN,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
