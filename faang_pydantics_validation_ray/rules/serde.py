@@ -45,6 +45,18 @@ _KINDS = {
         s.get("severity", "error")),
     "list_cardinality": lambda s: kernels.list_cardinality(
         s["field"], s.get("lo"), s.get("hi"), s.get("severity", "error")),
+    "unit_pattern": lambda s: kernels.unit_pattern(
+        s["field"], s["unit_field"], dict(s["patterns"]),
+        s.get("severity", "error")),
+    "real_date": lambda s: kernels.real_date(
+        s["field"], s.get("format", "%Y-%m-%d"),
+        s.get("gate_pattern", r"^\d{4}-\d{2}-\d{2}$"),
+        s.get("severity", "error")),
+    "vocab_member": lambda s: kernels.vocab_member(
+        s["field"], s["vocab"], s.get("severity", "error")),
+    "text_label_consistent": lambda s: kernels.text_label_consistent(
+        s["text_field"], s["field"], s["vocab"],
+        s.get("severity", "warning")),
 }
 
 

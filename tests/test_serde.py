@@ -41,3 +41,39 @@ def test_json_ruleset_end_to_end():
     assert ("cond.code_for_bad", None, "error") in got       # row b: bad + null code
     assert ("sentinel.status", "d", "warning") in got        # restricted access
     assert ("enum.status", "d", "error") not in got          # sentinel masked out
+
+
+def test_json_ruleset_new_kinds():
+    """Round-2 kinds: unit-dispatched date pattern, real-date round-trip,
+    vocab membership, text↔label consistency."""
+    cfg = {
+        "key_column": "id",
+        "rules": [
+            {"kind": "unit_pattern", "field": "d", "unit_field": "u",
+             "patterns": {"YYYY-MM-DD": r"^\d{4}-\d{2}-\d{2}$",
+                          "YYYY": r"^\d{4}$"}},
+            {"kind": "real_date", "field": "d"},
+            {"kind": "vocab_member", "field": "lab",
+             "vocab": ["cat", "dog"]},
+            {"kind": "text_label_consistent", "field": "lab",
+             "text_field": "txt", "vocab": ["cat", "dog"]},
+        ],
+    }
+    t = pa.table({
+        "id": ["a", "b", "c", "d"],
+        "d": ["2021-02-30", "2021-05-01", "2021", "2021-01-01"],
+        "u": ["YYYY-MM-DD", "YYYY", "YYYY", "YYYY-MM-DD"],
+        "lab": ["cat", "dog", "wug", "dog"],
+        "txt": ["a cat photo", "a dog here", "whatever", "a cat not d-o-g"],
+    })
+    from faang_pydantics_validation_ray.rules.serde import ruleset_from_json
+    rs = ruleset_from_json(json.dumps(cfg))
+    res = rs.evaluate(t, exemplar_cap=100)
+    got = {(r, k) for r, k in zip(res.violations.column("rule_id").to_pylist(),
+                                  res.violations.column("image_id").to_pylist())}
+    assert got == {
+        ("unit_pattern.d", "b"),        # full date under YYYY unit
+        ("real_date.d", "a"),           # Feb 30 rolls over -> caught
+        ("vocab_member.lab", "c"),      # wug not in vocab
+        ("text_label_consistent.lab", "d"),  # label dog absent from text
+    }
