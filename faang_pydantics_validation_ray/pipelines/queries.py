@@ -535,6 +535,46 @@ def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     return dedup.simhash_near_dups(ds, max_hamming=6)
 
 
+def q_corpus_clean_documents(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-corpus cleaning: quality filter (token count +
+    punctuation ratio, vectorized stats) → exact-dedup survivors (md5
+    groupby, min doc_id wins) → surviving doc_ids. The canonical LLM
+    data-pipeline composition, fully oracle-checked."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = text.text_stats_batch(t)
+        keep = pc.and_(pc.greater_equal(s.column("ws_tokens"), 5),
+                       pc.less_equal(s.column("punct_ratio"), 0.2))
+        return dedup.add_md5_batch(t.filter(keep)).select(
+            ["doc_id", "content_hash"])
+
+    from ray.data.aggregate import Min
+    survivors = (ds.map_batches(filt, batch_format="pyarrow")
+                 .groupby("content_hash")
+                 .aggregate(Min("doc_id", alias_name="doc_id")).to_pandas())
+    return (survivors[["doc_id"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+SQL_CORPUS_CLEAN_DOCUMENTS = r"""
+WITH s AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h,
+         trim(coalesce(text, '')) AS t FROM documents
+), f AS (
+  SELECT doc_id, h,
+         CASE WHEN t = '' THEN 0
+              ELSE len(regexp_split_to_array(t, '\s+')) END AS ws,
+         CASE WHEN length(t) > 0
+              THEN len(regexp_extract_all(t, '[[:punct:]]'))
+                   / CAST(length(t) AS DOUBLE) ELSE 0 END AS punct
+  FROM s)
+SELECT MIN(doc_id) AS doc_id FROM f
+WHERE ws >= 5 AND punct <= 0.2
+GROUP BY h ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------- ANN
 
 
@@ -1226,6 +1266,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
+    "corpus_clean_documents": q_corpus_clean_documents,
     # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
@@ -1272,6 +1313,7 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
+    "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
     "compat_join": SQL_COMPAT_JOIN,
