@@ -80,10 +80,19 @@ def main(argv=None) -> int:
             print(json.dumps({c: p.summary() for c, p in prof.items()},
                              default=str))
         elif args.cmd == "export":
+            import os
+
+            import pyarrow.parquet as pq
             import ray.data as rd
             from .pipelines.export import export_clean_images
-            ds = export_clean_images(rd.read_parquet(f"{args.input}/images"),
-                                     out_dir=args.out)
+            cap_path = os.path.join(args.input, "captions.parquet")
+            voc_path = os.path.join(args.input, "vocab.parquet")
+            ds = export_clean_images(
+                rd.read_parquet(f"{args.input}/images"), out_dir=args.out,
+                captions_ds=rd.read_parquet(cap_path)
+                if os.path.exists(cap_path) else None,
+                vocab=pq.read_table(voc_path).column("label").to_pylist()
+                if os.path.exists(voc_path) else None)
             print(json.dumps({"exported_rows": ds.count()}))
         return 0
     finally:
