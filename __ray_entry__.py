@@ -21,25 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _ship_package_by_value() -> None:
     """Make the library importable inside Ray workers regardless of the
-    driver's cwd/PYTHONPATH: register every package module for cloudpickle
-    by-value serialization, so closures/classes shipped to workers carry
-    their code instead of requiring an import."""
+    driver's cwd/PYTHONPATH (the library entry points also call this lazily
+    via runtime.ensure_shipped)."""
     try:
-        from ray import cloudpickle
-
-        import faang_pydantics_validation_ray  # noqa: F401 — load the tree
-        from faang_pydantics_validation_ray import functions, imagetable  # noqa: F401
-        from faang_pydantics_validation_ray import pipelines, rules, sources, stages, state  # noqa: F401
-        from faang_pydantics_validation_ray.pipelines import profile, queries, report, validate  # noqa: F401
-        from faang_pydantics_validation_ray.functions import (  # noqa: F401
-            ann, dedup, groups, hashing, joins, multimodal, sketches, text,
-        )
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("faang_pydantics_validation_ray") and mod is not None:
-                try:
-                    cloudpickle.register_pickle_by_value(mod)
-                except Exception:
-                    pass
+        from faang_pydantics_validation_ray.runtime import ensure_shipped
+        ensure_shipped()
     except Exception:
         pass  # best effort — normal import path still works from the repo cwd
 

@@ -26,6 +26,8 @@ from ..rules.spec import RuleSet
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
+    from ..runtime import ensure_shipped
+    ensure_shipped()  # workers need no repo on sys.path (cluster / any cwd)
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -514,6 +516,45 @@ def q_langid_documents(sf_dir: str) -> pd.DataFrame:
             .sort_values("detected_lang").reset_index(drop=True))
 
 
+# mirrors text.langid_batch verbatim (both sides are RE2): per-language
+# function-word densities over ws = count('\s+')+1, argmax with first-max
+# tie-break in (en, de, fr, es) order, 'unknown' when all scores are 0,
+# 'zh' override when CJK char ratio > 0.2
+SQL_LANGID_DOCUMENTS = r"""
+WITH sc AS (
+  SELECT COALESCE(text, '') AS s,
+    GREATEST(CAST(len(regexp_extract_all(COALESCE(text, ''), '\s+')) AS DOUBLE)
+             + 1.0, 1.0) AS ws,
+    GREATEST(CAST(length(COALESCE(text, '')) AS DOUBLE), 1.0) AS chars
+  FROM documents
+), scored AS (
+  SELECT
+    CAST(len(regexp_extract_all(s, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        / chars AS cjk,
+    CAST(len(regexp_extract_all(s, '(?i)\b(the|and|of|is|that|with|for)\b'))
+        AS DOUBLE) / ws AS sc_en,
+    CAST(len(regexp_extract_all(s, '(?i)\b(der|die|und|das|nicht|ist|mit)\b'))
+        AS DOUBLE) / ws AS sc_de,
+    CAST(len(regexp_extract_all(s, '(?i)\b(le|la|et|les|des|est|dans)\b'))
+        AS DOUBLE) / ws AS sc_fr,
+    CAST(len(regexp_extract_all(s, '(?i)\b(el|los|las|es|una|para|con)\b'))
+        AS DOUBLE) / ws AS sc_es
+  FROM sc
+), lab AS (
+  SELECT CASE
+    WHEN cjk > 0.2 THEN 'zh'
+    WHEN GREATEST(sc_en, sc_de, sc_fr, sc_es) <= 0.0 THEN 'unknown'
+    WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+    WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+    WHEN sc_fr >= sc_es THEN 'fr'
+    ELSE 'es' END AS detected_lang
+  FROM scored
+)
+SELECT detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM lab GROUP BY detected_lang ORDER BY detected_lang
+"""
+
+
 def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: text.fingerprint_batch(t).select(
@@ -854,8 +895,12 @@ ORDER BY id_a, id_b
 
 
 def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate variant of embedding_neardup at the SAME threshold (0.4)
+    so the outputs are comparable: every pair here is a true pair from the
+    exact query; 6 hyperplanes + 1-bit multi-probe gives ~0.72 recall on the
+    synthetic embeddings (deterministic seed, asserted in tests)."""
     return dedup.embedding_near_dups_lsh(
-        _read(sf_dir, "embeddings"), threshold=0.95)
+        _read(sf_dir, "embeddings"), threshold=0.4, n_planes=6)
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
@@ -1313,6 +1358,7 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
+    "langid_documents": SQL_LANGID_DOCUMENTS,
     "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,

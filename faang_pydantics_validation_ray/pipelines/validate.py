@@ -132,6 +132,8 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     """
     import os
     import time as _time
+    from ..runtime import ensure_shipped
+    ensure_shipped()  # workers need no repo on sys.path (cluster / any cwd)
     _timing = os.environ.get("FPV_TIMING")
     _t = _time.perf_counter()
     phase_sec: dict[str, float] = {}

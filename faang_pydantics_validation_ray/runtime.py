@@ -7,6 +7,46 @@ cluster. Callers may always override explicitly.
 
 from __future__ import annotations
 
+_shipped = False
+
+
+def ensure_shipped() -> None:
+    """Register every package module for cloudpickle by-value serialization so
+    Dataset transforms work no matter where the driver process runs from
+    (workers on a real cluster have no /root/repo on sys.path). Idempotent;
+    called lazily by the library's pipeline entry points. The transform
+    function is pickled once per Dataset execution — not per block — so the
+    extra payload does not scale with data size."""
+    global _shipped
+    if _shipped:
+        return
+    try:
+        import importlib
+        import sys
+
+        from ray import cloudpickle
+
+        pkg = __name__.rsplit(".", 1)[0]
+        for sub in ("functions.ann", "functions.dedup", "functions.groups",
+                    "functions.hashing", "functions.joins",
+                    "functions.multimodal", "functions.sketches",
+                    "functions.text", "imagetable.codec", "imagetable.datagen",
+                    "pipelines.profile", "pipelines.queries",
+                    "pipelines.report", "pipelines.validate", "rules.kernels",
+                    "rules.image_rules", "rules.sentinels", "rules.serde",
+                    "sources.readers", "stages.decode", "stages.validate_batch",
+                    "state.checkpoint", "runtime"):
+            importlib.import_module(f"{pkg}.{sub}")
+        for name, mod in list(sys.modules.items()):
+            if name.startswith(pkg) and mod is not None:
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+        _shipped = True
+    except Exception:
+        pass  # workers that CAN import the package still work normally
+
 
 def session_cpus(default: int = 8) -> int:
     """Total CPUs in the connected Ray session (``default`` when Ray is not

@@ -113,6 +113,21 @@ def test_simhash_near_dups(doc_ds):
     assert not pairs.duplicated(["id_a", "id_b"]).any()
 
 
+def test_embedding_lsh_subset_and_recall(ray_session):
+    """LSH near-dup at the SAME threshold as the exact variant: every
+    reported pair is a true pair (no false positives) and deterministic
+    recall (seed 7, 6 planes, 1-bit multi-probe) stays above 0.5 (measured
+    0.71 on the sf0.001 embeddings)."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = dedup.embedding_near_dups_exact(ds, threshold=0.4)
+    approx = dedup.embedding_near_dups_lsh(ds, threshold=0.4, n_planes=6)
+    ex = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+    ap = {(int(a), int(b)) for a, b in zip(approx.id_a, approx.id_b)}
+    assert ap and ap <= ex
+    assert len(ap) / len(ex) >= 0.5
+
+
 def test_ngram_jaccard_bounds():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("abcdefgh", "zyxwvuts") == 0.0
