@@ -12,6 +12,9 @@
 - :func:`semi_join` / :func:`anti_join` — thin wrappers over the built-in
   hash join for reference-existence checks when full rows (not just counts —
   see functions/groups.anti_join_counts) are needed.
+- :func:`asof_join` / :func:`range_join_counts` — keyed temporal joins Ray
+  Data lacks natively, composed as normalize → union → ONE groupby(_key)
+  shuffle → vectorized searchsorted per group (no row-wise Python).
 """
 
 from __future__ import annotations
@@ -83,6 +86,126 @@ def anti_join(left, right, key: str, num_partitions: int | None = None):
     """Rows of ``left`` whose key does NOT exist in ``right``."""
     return left.join(right, join_type="left_anti",
                      num_partitions=_np(num_partitions, left, right), on=(key,))
+
+
+def _union_sides(left, right, by_left: str, by_right: str, on_left: str,
+                 on_right: str, left_cols: list[str], right_cols: list[str]):
+    """Normalize both inputs to one (_key, _t, _side, payload…) schema and
+    union them — ONE hash shuffle co-locates each key's rows for the keyed
+    temporal joins below. Missing side's payload columns ride as nulls."""
+
+    def schema_map(ds) -> dict[str, pa.DataType]:
+        """Column→Arrow-type map tolerant of pandas-backed blocks (whose
+        Schema carries numpy dtypes instead of a pyarrow schema)."""
+        sch = ds.schema()
+        out: dict[str, pa.DataType] = {}
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    l_schema, r_schema = schema_map(left), schema_map(right)
+    # canonical column order on BOTH sides (union requires identical schemas)
+    payload = ([(c, l_schema[c]) for c in left_cols]
+               + [(c, r_schema[c]) for c in right_cols])
+
+    def norm(side: str, by: str, on: str, own: set[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict[str, object] = {
+                "_key": pc.cast(t.column(by), pa.int64()),
+                "_t": pc.cast(t.column(on), pa.timestamp("us")),
+                "_side": pa.array([side] * t.num_rows, type=pa.string()),
+            }
+            for c, typ in payload:
+                cols[c] = t.column(c) if c in own else pa.nulls(t.num_rows,
+                                                                type=typ)
+            return pa.table(cols)
+        return fn
+
+    lt = left.map_batches(norm("L", by_left, on_left, set(left_cols)),
+                          batch_format="pyarrow")
+    rt = right.map_batches(norm("R", by_right, on_right, set(right_cols)),
+                           batch_format="pyarrow")
+    return lt.union(rt)
+
+
+def asof_join(left, right, by_left: str, by_right: str, on_left: str,
+              on_right: str, left_cols: list[str], right_cols: list[str],
+              right_tiebreak: str | None = None):
+    """Backward as-of join: for each left row, attach the right row of the
+    same key with the greatest ``on_right`` <= ``on_left`` (inner semantics:
+    unmatched left rows drop, like SQL ``ASOF JOIN``). Ray Data has no native
+    as-of join — this is the documented composition: normalize both sides to
+    a common schema, ONE hash shuffle (``groupby(_key)``), vectorized
+    ``np.searchsorted`` per group. Partitioning assumption: one key's rows
+    fit in a single group (the same bound every groupby().map_groups has).
+    Ties on ``on_right`` resolve to the greatest ``right_tiebreak`` so the
+    result is deterministic and matches a dedup-then-ASOF SQL oracle.
+    Returns a pandas DataFrame of left_cols + right_cols (driver-sized
+    results; for big outputs chain on the Dataset before collecting)."""
+    import numpy as np
+    import pandas as pd
+
+    u = _union_sides(left, right, by_left, by_right, on_left, on_right,
+                     left_cols, right_cols)
+    out_cols = ["_t"] + left_cols + right_cols
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["_side"] == "L"]
+        R = g[g["_side"] == "R"]
+        sort_by = ["_t"] + ([right_tiebreak] if right_tiebreak else [])
+        R = R.sort_values(sort_by, kind="stable")
+        idx = np.searchsorted(R["_t"].to_numpy(), L["_t"].to_numpy(),
+                              side="right") - 1
+        ok = idx >= 0
+        out = L.loc[ok, ["_t"] + left_cols].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = R.iloc[idx[ok]][c].to_numpy()
+        return out
+
+    res = (u.groupby("_key").map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if not len(res):
+        return pd.DataFrame({c: [] for c in out_cols}).drop(columns=["_t"])
+    return res.drop(columns=["_t"]).reset_index(drop=True)
+
+
+def range_join_counts(left, right, by_left: str, by_right: str, on_left: str,
+                      on_right: str, right_key_col: str, lo_us: int,
+                      hi_us: int):
+    """Keyed interval-count join: for each right row, count left rows of the
+    same key with ``on_left`` in ``[on_right + lo_us, on_right + hi_us)``
+    (microsecond offsets). Same single-shuffle union composition and
+    per-group searchsorted as :func:`asof_join`; emits only right rows with
+    a non-zero count. Returns pandas (right_key_col, n)."""
+    import numpy as np
+    import pandas as pd
+
+    u = _union_sides(left, right, by_left, by_right, on_left, on_right,
+                     [], [right_key_col])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["_side"] == "L"]
+        R = g[g["_side"] == "R"]
+        lt = np.sort(L["_t"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        rt = R["_t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = (np.searchsorted(lt, rt + hi_us, side="left")
+             - np.searchsorted(lt, rt + lo_us, side="left"))
+        ok = n > 0
+        return pd.DataFrame({right_key_col: R.loc[ok, right_key_col].to_numpy(),
+                             "n": n[ok].astype(np.int64)})
+
+    res = (u.groupby("_key").map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if not len(res):
+        return pd.DataFrame({right_key_col: pd.array([], dtype="int64"),
+                             "n": pd.array([], dtype="int64")})
+    res["n"] = res["n"].astype("int64")
+    return res.reset_index(drop=True)
 
 
 def two_cycles(edges, src: str = "src", dst: str = "dst",

@@ -735,6 +735,63 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (custom temporal operator, SURVEY §2.6 family):
+    each event picks the SAME customer's most recent order at-or-before its
+    timestamp; o_orderdate ties resolve to the max o_orderkey so the result
+    matches the dedup-then-ASOF DuckDB oracle deterministically. One hash
+    shuffle on the customer key, vectorized searchsorted per group."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"])
+    out = joins.asof_join(ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+                          ["event_id", "user_id", "ts"],
+                          ["o_orderkey", "o_totalprice"],
+                          right_tiebreak="o_orderkey")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_EVENTS_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF JOIN (SELECT * FROM o WHERE rn = 1) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def q_range_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Keyed range join: per order, count its lineitems shipped within the
+    90 days from o_orderdate (orders with 0 matches drop). Same
+    single-shuffle union composition as the as-of join."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    out = joins.range_join_counts(li, od, "l_orderkey", "o_orderkey",
+                                  "l_shipdate", "o_orderdate", "o_orderkey",
+                                  lo_us=0, hi_us=90 * 86400 * 1_000_000)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN_LINEITEM_ORDERS = """
+SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
 def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """§2.7 sliding windows (2h width, 1h step): each event lands in two
     windows via a vectorized per-batch expansion, then ONE groupby — no
@@ -1315,6 +1372,8 @@ QUERIES = {
     # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
+    "asof_events_orders": q_asof_events_orders,
+    "range_join_lineitem_orders": q_range_join_lineitem_orders,
     "events_sliding_window": q_events_sliding_window,
     "events_sessions": q_events_sessions,
     "distinct_mktsegment": q_distinct_mktsegment,
@@ -1363,6 +1422,8 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
     "compat_join": SQL_COMPAT_JOIN,
+    "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
+    "range_join_lineitem_orders": SQL_RANGE_JOIN_LINEITEM_ORDERS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,

@@ -82,3 +82,45 @@ def test_fused_counts_external_catalog(ray_session):
     assert missing.set_index("image_id")["left_cnt"].to_dict() == {"Y": 1}
     assert external.set_index("image_id")["left_cnt"].to_dict() == {"X": 2}
     assert near.set_index("phash")["cnt"].to_dict() == {1: 2}
+
+
+def test_asof_join_backward_with_tiebreak(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.joins import asof_join
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "lt": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-01",
+                              "2024-01-05", "2024-01-05"]),
+        "lid": [10, 11, 12, 20, 30]}))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": [1, 1, 1, 2],
+        "rt": pd.to_datetime(["2024-01-03", "2024-01-03", "2024-01-08",
+                              "2024-01-09"]),
+        "rid": [100, 101, 102, 200]}))
+    out = asof_join(left, right, "k", "rk", "lt", "rt",
+                    ["lid"], ["rid"], right_tiebreak="rid")
+    got = dict(zip(out.lid.astype(int), out.rid.astype(int)))
+    # lid=10 (Jan 5): latest right <= Jan 5 is Jan 3; tie -> max rid 101
+    # lid=11 (Jan 10): Jan 8 row (rid 102)
+    # lid=12 (Jan 1): no right row at-or-before -> dropped
+    # k=2 (Jan 5): right is Jan 9 (after) -> dropped; k=3: no right side
+    assert got == {10: 101, 11: 102}
+
+
+def test_range_join_counts(ray_session):
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.joins import range_join_counts
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "lt": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-20",
+                              "2024-01-01"])}))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": [1, 1, 3],
+        "rt": pd.to_datetime(["2024-01-01", "2024-01-15", "2024-01-01"]),
+        "rid": [100, 101, 300]}))
+    out = range_join_counts(left, right, "k", "rk", "lt", "rt", "rid",
+                            lo_us=0, hi_us=7 * 86400 * 1_000_000)
+    got = dict(zip(out.rid.astype(int), out.n.astype(int)))
+    # rid=100 window [Jan1, Jan8): hits Jan1+Jan2 = 2; rid=101 [Jan15, Jan22):
+    # hits Jan20 = 1; rid=300 key 3 has no left rows -> dropped
+    assert got == {100: 2, 101: 1}
