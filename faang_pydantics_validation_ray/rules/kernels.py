@@ -278,14 +278,20 @@ def text_label_consistent(text_col: str, label_col: str, vocab: Sequence[str],
         if text_col not in t.column_names or label_col not in t.column_names:
             return []
         lab = t.column(label_col)
+        txt = t.column(text_col).combine_chunks()
         bad = np.zeros(t.num_rows, dtype=bool)
         for w in terms:
             is_w = np_bool(pc.equal(lab, w))
             if not is_w.any():
                 continue
+            # regex only the rows declaring THIS label (take → match →
+            # scatter), not the whole column once per vocab term: total regex
+            # work is one pass over the batch regardless of vocab size
+            idx = np.nonzero(is_w)[0]
             mentions = np_bool(pc.match_substring_regex(
-                t.column(text_col), r"\b" + _re.escape(w) + r"\b"))
-            bad |= is_w & ~mentions
+                pc.take(txt, pa.array(idx)),
+                r"\b" + _re.escape(w) + r"\b"))
+            bad[idx[~mentions]] = True
         return [(bad & ctx.present(text_col) & ctx.present(label_col),
                  severity, msg)]
     return kernel
