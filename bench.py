@@ -48,8 +48,12 @@ def _sf(sf_dir: str) -> float:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     import ray.data as rd
+    # log_to_driver=False: worker log lines (e.g. Ray Data's benign
+    # "Failed to hash the schemas" warning) must not interleave with the
+    # single JSON line this script prints on stdout
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
 
