@@ -59,6 +59,13 @@ def main(argv=None) -> int:
     e.add_argument("--input", required=True)
     e.add_argument("--out", required=True)
 
+    s = sub.add_parser("validate-submission",
+                       help="reference-style JSON submission: every record "
+                            "type validated, per-type + total summary",
+                       parents=[common])
+    s.add_argument("--input", required=True, help="submission .json path")
+    s.add_argument("--out", default=None, help="optional summary.json path")
+
     args = p.parse_args(argv)
     ray = _session(args)
     try:
@@ -94,6 +101,24 @@ def main(argv=None) -> int:
                 vocab=pq.read_table(voc_path).column("label").to_pylist()
                 if os.path.exists(voc_path) else None)
             print(json.dumps({"exported_rows": ds.count()}))
+        elif args.cmd == "validate-submission":
+            from .pipelines.queries import (
+                ruleset_customer, ruleset_events, ruleset_lineitem,
+                ruleset_orders,
+            )
+            from .pipelines.unified import validate_many
+            from .sources.readers import read_submission_json
+            known = {"orders": ruleset_orders, "lineitem": ruleset_lineitem,
+                     "customer": ruleset_customer, "events": ruleset_events}
+            dss = read_submission_json(args.input)
+            unknown = sorted(set(dss) - set(known))
+            if unknown:
+                raise SystemExit(f"no ruleset for record types {unknown}; "
+                                 f"known: {sorted(known)}")
+            out = validate_many({t: (dss[t], known[t]()[0]) for t in dss})
+            print(out.to_json(orient="records"))
+            if args.out:
+                out.to_json(args.out, orient="records")
         return 0
     finally:
         ray.shutdown()

@@ -122,3 +122,44 @@ def test_detail_report_renders(ray_session):
     assert "record " in rep and "more records" in rep  # truncation disclosed
     full = render_detail_report(res, max_records=10**6)
     assert "more records" not in full
+
+
+def test_read_submission_json_unified_run(tmp_path, ray_session):
+    """Reference-style submission intake: one JSON doc of record-type ->
+    record-list feeds the unified multi-type run; summary counts follow the
+    reference's warn-rows-still-valid semantics."""
+    import json
+    from faang_pydantics_validation_ray.pipelines.queries import ruleset_orders
+    from faang_pydantics_validation_ray.pipelines.unified import validate_many
+    from faang_pydantics_validation_ray.sources.readers import read_submission_json
+    sub = {"orders": [
+        {"o_orderkey": 1, "o_custkey": 10, "o_orderstatus": "O",
+         "o_totalprice": 100.0, "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 2, "o_custkey": 11, "o_orderstatus": "X",
+         "o_totalprice": 100.0, "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 3, "o_custkey": None, "o_orderstatus": "F",
+         "o_totalprice": 100.0, "o_orderpriority": "3-MEDIUM"},
+    ]}
+    p = str(tmp_path / "submission.json")
+    with open(p, "w") as fh:
+        json.dump(sub, fh)
+    dss = read_submission_json(p)
+    assert set(dss) == {"orders"}
+    out = validate_many({"orders": (dss["orders"], ruleset_orders()[0])})
+    row = out[out.record_type == "orders"].iloc[0]
+    assert (row.total, row.valid, row.invalid, row.warnings) == (3, 1, 2, 0)
+    tot = out[out.record_type == "total"].iloc[0]
+    assert (tot.total, tot.invalid) == (3, 2)
+
+
+def test_read_records_jsonl_closed_schema(tmp_path, ray_session):
+    from faang_pydantics_validation_ray.sources.readers import read_records_jsonl
+    p = str(tmp_path / "records.json")
+    with open(p, "w") as fh:
+        fh.write('{"a": 1, "b": "x", "c": 9}\n{"a": 2, "b": "y", "c": 8}\n')
+    ds, viol = read_records_jsonl(p, expected=["a", "b", "z"], strict=False)
+    assert ds.count() == 2
+    got = {(v["rule_id"], v["field"]) for v in viol}
+    assert got == {("schema.unknown_column", "c"), ("schema.missing_column", "z")}
+    with pytest.raises(ValueError):
+        read_records_jsonl(p, expected=["a", "b"], strict=True)
