@@ -88,6 +88,74 @@ class ResizeImages:
         return t.set_column(idx, "bytes", pa.array(out_bufs, type=pa.binary()))
 
 
+VIDEO_MAGIC = b"FPVV"
+
+
+def encode_fake_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Deterministic in-repo video container: magic + frame count + length-
+    prefixed codec-encoded frames. Stands in for mp4 until ffmpeg exists;
+    the flat-buffer layout mirrors how a real demuxer walks packets."""
+    parts = [VIDEO_MAGIC, np.uint32(len(frames)).tobytes()]
+    for px in frames:
+        enc = codec.encode(px, fmt)
+        parts.append(np.uint32(len(enc)).tobytes())
+        parts.append(enc)
+    return b"".join(parts)
+
+
+class VideoFrameSample:
+    """Actor-pool stage: demux the in-repo video container, decode every
+    ``step``-th frame, emit one row per sampled frame (flat_map-shaped
+    output: a batch of videos becomes a longer batch of frames). Swap the
+    demux/decode pair for PyAV/ffmpeg in a real deployment — schema, actor
+    signature and per-frame fan-out are the real plumbing."""
+
+    def __init__(self, step: int = 2, id_col: str = "video_id",
+                 use_external_libs: bool = False):
+        if use_external_libs:
+            try:
+                import av  # noqa: F401
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "PyAV/ffmpeg not available in this container; stage runs "
+                    "with the deterministic in-repo container instead") from e
+        self.step = max(1, step)
+        self.id_col = id_col
+
+    OUTPUT_FIELDS = [("frame_idx", pa.int32()), ("w", pa.int32()),
+                     ("h", pa.int32()), ("mean_luma", pa.float32())]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, luma = [], [], [], [], []
+        for vid, buf in zip(t.column(self.id_col).to_pylist(),
+                            t.column("bytes").to_pylist()):
+            if buf is None or buf[:4] != VIDEO_MAGIC:
+                continue
+            n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
+            off = 8
+            for i in range(n):
+                ln = int(np.frombuffer(buf[off:off + 4], dtype=np.uint32)[0])
+                off += 4
+                if i % self.step == 0:
+                    try:
+                        _, w, h, px = codec.decode(buf[off:off + ln])
+                    except codec.DecodeError:
+                        off += ln
+                        continue
+                    ids.append(vid)
+                    fidx.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    luma.append(float(px.mean(axis=2).mean()))
+                off += ln
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "w": pa.array(ws, type=pa.int32()),
+            "h": pa.array(hs, type=pa.int32()),
+            "mean_luma": pa.array(luma, type=pa.float32())})
+
+
 class AudioFrameSample:
     """STUB (no audio libs in container): real actor signature + output
     schema for an audio frame-sampling stage; raises on use unless given a

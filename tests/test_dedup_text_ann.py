@@ -264,3 +264,28 @@ def test_cluster_pairs():
     assert by_id[1] != by_id[10]
     keeps = set(out[out.keep].id)
     assert keeps == {1, 10}
+
+
+def test_video_frame_sample_stage(ray_session):
+    """Video frame sampling: deterministic container demuxed in an actor
+    pool, every step-th frame decoded, one output row per sampled frame."""
+    import ray.data as rd
+    from faang_pydantics_validation_ray.imagetable import codec
+    rng = np.random.default_rng(3)
+    vids = []
+    for v in range(3):
+        frames = [rng.integers(0, 255, size=(8, 8, 3)).astype(np.uint8)
+                  for _ in range(5)]
+        vids.append({"video_id": f"v{v}",
+                     "bytes": multimodal.encode_fake_video(frames)})
+    vids.append({"video_id": "bad", "bytes": b"not-a-video"})
+    ds = rd.from_items(vids)
+    out = ds.map_batches(multimodal.VideoFrameSample, batch_format="pyarrow",
+                         concurrency=1, fn_constructor_kwargs={"step": 2}
+                         ).to_pandas()
+    # 5 frames, step 2 -> frames 0, 2, 4 per video; bad payload skipped
+    assert len(out) == 9
+    assert set(out.video_id) == {"v0", "v1", "v2"}
+    assert sorted(out[out.video_id == "v0"].frame_idx) == [0, 2, 4]
+    assert (out.w == 8).all() and (out.h == 8).all()
+    assert out.mean_luma.between(0, 255).all()
