@@ -328,6 +328,9 @@ def ensure_image_table(n: int, seed: int = 42, n_files: int = 4, violations: boo
                        drift: bool = True, root: str = "/tmp/fpv_imgtable",
                        use_ray: bool = False) -> str:
     tag = table_tag(n, seed, n_files, violations, drift)
+    if use_ray:
+        from ..runtime import ensure_shipped
+        ensure_shipped()  # workers need no repo on sys.path (any cwd)
     return write_image_table(os.path.join(root, tag), n, seed, n_files,
                              violations, drift, use_ray=use_ray)
 

@@ -40,6 +40,8 @@ def _sketch_batch(t: pa.Table, cols=PROFILE_COLS) -> pa.Table:
 
 def build_reference_profile(ds, cols=PROFILE_COLS) -> dict[str, ColumnProfile]:
     """Stream a Dataset once; return merged per-column profiles."""
+    from ..runtime import ensure_shipped
+    ensure_shipped()  # workers need no repo on sys.path (cluster / any cwd)
     partials = ds.map_batches(lambda t: _sketch_batch(t, cols), batch_format="pyarrow")
     merged: dict[str, ColumnProfile] = {}
     for batch in partials.iter_batches(batch_size=1024, batch_format="pyarrow"):
