@@ -56,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
     # the driver's comparison scale (sf0.01 → n=10000); make sure it exists
     # regardless of whether DuckDB or the Ray query runs first (idempotent)
     datagen.ensure_image_table(n=10000, seed=42, n_files=4)
+    datagen.ensure_ground_truth(n=10000, seed=42, n_files=4)
     return dict(ORACLES)

@@ -316,6 +316,58 @@ def write_image_table(out_dir: str, n: int, seed: int = 42, n_files: int = 4,
     return out_dir
 
 
+def expected_rule_counts(n: int, seed: int = 42, n_files: int = 4,
+                         drift: bool = True):
+    """Exact (rule_id, severity, count) the engine must report for the dirty
+    table, with cross-record rules weighted by ROWS involved (the
+    ``rule_counts`` semantics in pipelines/validate.py: ``sum(cnt)`` per
+    duplicate/near-dup key, ``sum(left_cnt)`` per missing ref) rather than
+    one per key as in :func:`expected_violations`. Excludes partition-level
+    drift verdicts (PSI math, owned by the golden drift test)."""
+    import pandas as pd
+
+    ev = expected_violations(n, seed, n_files, drift)
+    id_counts: dict[str, int] = {}
+    phash_counts: dict[int, int] = {}
+    for i in range(n):
+        p = row_plan(i, n, seed, n_files, True, drift)
+        if p.image_id is not None:
+            id_counts[p.image_id] = id_counts.get(p.image_id, 0) + 1
+        if not p.phash_null and p.phash_override is not None:
+            phash_counts[p.phash_override] = \
+                phash_counts.get(p.phash_override, 0) + 1
+    rows = []
+    for rule, key, sev in ev:
+        w = 1
+        if rule == "unique.image_id":
+            w = id_counts.get(key, 1)
+        elif rule == "neardup.phash":
+            w = phash_counts.get(int(str(key).split("=", 1)[1]), 1)
+        rows.append((rule, sev, w))
+    df = pd.DataFrame(rows, columns=["rule_id", "severity", "count"])
+    return (df.groupby(["rule_id", "severity"])["count"].sum().reset_index()
+            .sort_values(["rule_id", "severity"]).reset_index(drop=True))
+
+
+def ensure_ground_truth(n: int, seed: int = 42, n_files: int = 4,
+                        drift: bool = True,
+                        root: str = "/tmp/fpv_imgtable") -> str:
+    """Write (idempotently, atomically) the seeded ground-truth rule-count
+    sidecar next to the dirty table; the DuckDB ``img_rule_counts_truth``
+    oracle reads it. The generator's row plan — not the engine — is the
+    source, so this checks the decode-dependent rules end-to-end."""
+    tag = table_tag(n, seed, n_files, True, drift)
+    path = os.path.join(root, tag, "ground_truth_counts.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.Table.from_pandas(expected_rule_counts(n, seed, n_files, drift),
+                                 preserve_index=False)
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def table_tag(n: int, seed: int = 42, n_files: int = 4, violations: bool = True,
               drift: bool = True) -> str:
     """Cache-directory tag; the trailing generation id is bumped whenever the

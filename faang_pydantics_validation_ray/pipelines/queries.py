@@ -1078,6 +1078,20 @@ def q_img_violation_counts(sf_dir: str) -> pd.DataFrame:
     return res.rule_counts
 
 
+def q_img_rule_counts_truth(sf_dir: str) -> pd.DataFrame:
+    """Engine rule counts (minus partition-level drift verdicts, which PSI
+    math owns) vs the generator's seeded ground-truth sidecar — the DuckDB
+    oracle for the decode-dependent rules (pixel.decode, pixel.psnr,
+    xfield.fmt_magic, xfield.phash_consistency, …) that no SQL over the raw
+    bytes could express."""
+    res = _run_flagship(sf_dir)
+    rc = res.rule_counts
+    rc = rc[~rc["rule_id"].str.startswith("drift.")].reset_index(drop=True)
+    rc = rc.sort_values(["rule_id", "severity"]).reset_index(drop=True)
+    rc["count"] = rc["count"].astype("int64")
+    return rc
+
+
 def q_img_verdicts(sf_dir: str) -> pd.DataFrame:
     res = _run_flagship(sf_dir)
     v = res.verdicts.copy()
@@ -1338,7 +1352,11 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dup) AS dup_ids,
        (SELECT CAST(count(*) AS BIGINT) FROM nd) AS neardup_clusters,
        (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM nd) AS neardup_rows
 """
-    return {"img_scalar_counts": scalar, "img_cross_counts": cross}
+    truth = (f"SELECT rule_id, severity, CAST(count AS BIGINT) AS count "
+             f"FROM read_parquet('{p}/ground_truth_counts.parquet') "
+             f"ORDER BY rule_id, severity")
+    return {"img_scalar_counts": scalar, "img_cross_counts": cross,
+            "img_rule_counts_truth": truth}
 
 
 QUERIES = {
@@ -1389,6 +1407,7 @@ QUERIES = {
     # flagship image validation — oracle-verified over the generated parquet
     "img_scalar_counts": q_img_scalar_counts,
     "img_cross_counts": q_img_cross_counts,
+    "img_rule_counts_truth": q_img_rule_counts_truth,
     # flagship image validation (rows-only: decode-dependent / composite)
     "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
