@@ -555,6 +555,50 @@ FROM lab GROUP BY detected_lang ORDER BY detected_lang
 """
 
 
+def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-vocabulary build: distributed token counting (per-batch
+    np.unique partials → ONE groupby-sum shuffle of (token, n) rows) and a
+    deterministic global top-50 (count desc, token asc). The candidate pull
+    is a distributed sort+limit with a 40× margin so boundary ties cannot
+    change the exact top-k; only ~2000 aggregate rows reach the driver."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+            t.column("text"), "")))
+        toks: list[str] = []
+        for s in txt.to_pylist():
+            toks.extend(s.split())
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        return pa.table({"token": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(cnt, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    cand = agg.sort("n", descending=True).limit(2000).to_pandas()
+    out = (cand.sort_values(["n", "token"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_VOCAB_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+             lower(trim(COALESCE(text, ''))), '\s+')) AS token
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE token != ''
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: text.fingerprint_batch(t).select(
@@ -1383,6 +1427,7 @@ QUERIES = {
     "token_stats_documents": q_token_stats_documents,
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
+    "vocab_documents": q_vocab_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1437,6 +1482,7 @@ ORACLES = {
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "langid_documents": SQL_LANGID_DOCUMENTS,
+    "vocab_documents": SQL_VOCAB_DOCUMENTS,
     "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
