@@ -555,6 +555,41 @@ FROM lab GROUP BY detected_lang ORDER BY detected_lang
 """
 
 
+def q_split_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split by content-independent id hash
+    (the reproducible-split primitive every training-data pipeline needs):
+    bucket = first md5 byte of the STRING id, train < 204 (~80%), val < 230
+    (~10%), else test. Pure per-batch map + one tiny groupby — no shuffle of
+    payload rows; identical assignment on any cluster size or row order."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.set_column(0, "doc_id", pc.cast(t.column("doc_id"), pa.string()))
+        t = dedup.add_md5_batch(t, "doc_id", out="h")
+        b = np.array([int(h[:2], 16) for h in t.column("h").to_pylist()])
+        split = np.where(b < 204, "train", np.where(b < 230, "val", "test"))
+        return pa.table({"split": pa.array(split, type=pa.string())})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("split").count().to_pandas()
+           .rename(columns={"count()": "n"}))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+SQL_SPLIT_DOCUMENTS = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+         AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
     """Tokenizer-vocabulary build: distributed token counting (per-batch
     np.unique partials → ONE groupby-sum shuffle of (token, n) rows) and a
@@ -1428,6 +1463,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
+    "split_documents": q_split_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1483,6 +1519,7 @@ ORACLES = {
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "langid_documents": SQL_LANGID_DOCUMENTS,
     "vocab_documents": SQL_VOCAB_DOCUMENTS,
+    "split_documents": SQL_SPLIT_DOCUMENTS,
     "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
