@@ -316,6 +316,115 @@ def write_image_table(out_dir: str, n: int, seed: int = 42, n_files: int = 4,
     return out_dir
 
 
+def _row_findings(i: int, n: int, seed: int, n_files: int,
+                  drift: bool) -> tuple["RowPlan", list]:
+    """Pass1 (per-row) expected findings for row ``i`` — the single source
+    for expected_violations / expected_rule_counts / expected_summary.
+    Cross-record (unique/neardup/ref) expectations are key-scoped and live
+    in the callers."""
+    from ..stages.decode import PHASH_HAMMING_TOL
+
+    p = row_plan(i, n, seed, n_files, True, drift)
+    b = p.bucket
+    iid = p.image_id
+    out: list[tuple[str, str | None, str]] = []
+    # phash-consistency expectation, computed exactly like the engine:
+    # decode the materialized bytes, recompute the perceptual hash,
+    # compare to the claimed column value (skip psnr-failing rows)
+    if (not p.bytes_null and not p.phash_null and not p.corrupt
+            and b != B_PSNR):
+        row = _materialize(p, seed)
+        try:
+            _, _, _, px = codec.decode(row["bytes"])
+            dist = bin((codec.phash64(px) ^ row["phash"])
+                       & 0xFFFFFFFFFFFFFFFF).count("1")
+            if dist > PHASH_HAMMING_TOL:
+                out.append(("xfield.phash_consistency", iid, "warning"))
+        except codec.DecodeError:
+            pass
+    if b == B_ID_NULL:
+        out.append(("required.image_id", None, "error"))
+    if b == B_BYTES_NULL:
+        out.append(("required.bytes", iid, "error"))
+    if b == B_FMT_BAD:
+        out.append(("enum.fmt", iid, "error"))
+    if b == B_FMT_CASE:
+        out.append(("normalize.fmt", iid, "warning"))
+    if b == B_ID_PATTERN:
+        out.append(("pattern.image_id", iid, "error"))
+    if b in (B_W_ZERO, B_H_NEG, B_TOO_BIG):
+        out.append(("range.dims", iid, "error"))
+    if b == B_MAGIC:
+        out.append(("xfield.fmt_magic", iid, "error"))
+    if b == B_DIMS:
+        out.append(("xfield.dims_match", iid, "error"))
+    if b == B_CAP_NULL:
+        out.append(("recommended.caption", iid, "warning"))
+    if b == B_PHASH_NULL:
+        out.append(("recommended.phash", iid, "warning"))
+        if p.norm_fmt() in codec.LOSSY_FORMATS:
+            out.append(("conditional.phash_for_lossy", iid, "error"))
+    if b == B_PSNR:
+        out.append(("pixel.psnr", iid, "error"))
+    if b == B_SENT_WARN:
+        out.append(("sentinel.fmt", iid, "warning"))
+    if b == B_SENT_ERR:
+        out.append(("sentinel.fmt", iid, "error"))
+    if b == B_CORRUPT:
+        out.append(("pixel.decode", iid, "error"))
+    if b == B_LABEL_MISMATCH:
+        out.append(("consistency.caption_label", iid, "warning"))
+    if b == B_LABEL_BAD:
+        out.append(("vocab.label", iid, "error"))
+    if b == B_DATE_PATTERN:
+        out.append(("datepattern.collected_date", iid, "error"))
+    if b == B_DATE_INVALID:
+        out.append(("datevalid.collected_date", iid, "error"))
+    return p, out
+
+
+def expected_summary(n: int, seed: int = 42, n_files: int = 4,
+                     drift: bool = True, max_error_rate: float = 0.05):
+    """Expected flagship run summary (pipelines/validate.py semantics):
+    ``invalid`` = rows with ≥1 pass1 ERROR; ``warnings`` = rows whose only
+    findings are warnings; ``relationship_errors`` = duplicate rows + missing
+    caption refs (external-catalog hits excluded); a partition passes when
+    its error rate ≤ ``max_error_rate`` AND it is not the seeded drift
+    partition (the last file — its PSI shift is designed to exceed the 0.2
+    verdict threshold at any n; the golden drift test pins this)."""
+    import pandas as pd
+
+    part_rows: dict[int, int] = {}
+    part_errs: dict[int, int] = {}
+    id_counts: dict[str, int] = {}
+    n_err = n_warn_only = 0
+    for i in range(n):
+        p, findings = _row_findings(i, n, seed, n_files, drift)
+        part_rows[p.partition_id] = part_rows.get(p.partition_id, 0) + 1
+        if p.image_id is not None:
+            id_counts[p.image_id] = id_counts.get(p.image_id, 0) + 1
+        has_err = any(s == "error" for _, _, s in findings)
+        if has_err:
+            n_err += 1
+            part_errs[p.partition_id] = part_errs.get(p.partition_id, 0) + 1
+        elif findings:
+            n_warn_only += 1
+    dup_rows = sum(c for c in id_counts.values() if c > 1)
+    missing_refs = sum(1 for j in range(n)
+                       if j % ORPHAN_EVERY == ORPHAN_OFFSET
+                       and (j // ORPHAN_EVERY) % 2 == 1)
+    drift_part = n_files - 1 if (drift and n_files > 1) else None
+    passed = sum(
+        1 for f, rows in part_rows.items()
+        if part_errs.get(f, 0) / max(rows, 1) <= max_error_rate
+        and f != drift_part)
+    return pd.DataFrame([{
+        "total": n, "valid": n - n_err, "invalid": n_err,
+        "warnings": n_warn_only,
+        "relationship_errors": dup_rows + missing_refs,
+        "partitions": len(part_rows), "partitions_passed": passed}])
+
+
 def expected_rule_counts(n: int, seed: int = 42, n_files: int = 4,
                          drift: bool = True):
     """Exact (rule_id, severity, count) the engine must report for the dirty
@@ -357,14 +466,18 @@ def ensure_ground_truth(n: int, seed: int = 42, n_files: int = 4,
     oracle reads it. The generator's row plan — not the engine — is the
     source, so this checks the decode-dependent rules end-to-end."""
     tag = table_tag(n, seed, n_files, True, drift)
-    path = os.path.join(root, tag, "ground_truth_counts.parquet")
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        t = pa.Table.from_pandas(expected_rule_counts(n, seed, n_files, drift),
-                                 preserve_index=False)
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+    base = os.path.join(root, tag)
+    path = os.path.join(base, "ground_truth_counts.parquet")
+    spath = os.path.join(base, "ground_truth_summary.parquet")
+    for p, build in ((path, lambda: expected_rule_counts(n, seed, n_files,
+                                                         drift)),
+                     (spath, lambda: expected_summary(n, seed, n_files,
+                                                      drift))):
+        if not os.path.exists(p):
+            os.makedirs(base, exist_ok=True)
+            t = pa.Table.from_pandas(build(), preserve_index=False)
+            pq.write_table(t, p + ".tmp")
+            os.replace(p + ".tmp", p)
     return path
 
 
@@ -397,14 +510,11 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
     row) — the scalable contract (SURVEY.md §7 'violation-row explosion').
     Drift verdicts are partition-level and asserted separately.
     """
-    from ..stages.decode import PHASH_HAMMING_TOL
-
     out: list[tuple[str, str | None, str]] = []
     id_counts: dict[str, int] = {}
     phash_counts: dict[int, int] = {}
     for i in range(n):
-        p = row_plan(i, n, seed, n_files, True, drift)
-        b = p.bucket
+        p, findings = _row_findings(i, n, seed, n_files, drift)
         if p.image_id is not None:
             id_counts[p.image_id] = id_counts.get(p.image_id, 0) + 1
         # track every non-null phash for collision-exact neardup expectation
@@ -412,59 +522,7 @@ def expected_violations(n: int, seed: int = 42, n_files: int = 4,
             phash_counts[p.phash_override] = phash_counts.get(p.phash_override, 0) + 1
             # real phashes are effectively unique; tests at small n verify no
             # accidental collisions via the engine output itself
-        iid = p.image_id
-        # phash-consistency expectation, computed exactly like the engine:
-        # decode the materialized bytes, recompute the perceptual hash,
-        # compare to the claimed column value (skip psnr-failing rows)
-        if (not p.bytes_null and not p.phash_null and not p.corrupt
-                and b != B_PSNR):
-            row = _materialize(p, seed)
-            try:
-                _, _, _, px = codec.decode(row["bytes"])
-                dist = bin((codec.phash64(px) ^ row["phash"])
-                           & 0xFFFFFFFFFFFFFFFF).count("1")
-                if dist > PHASH_HAMMING_TOL:
-                    out.append(("xfield.phash_consistency", iid, "warning"))
-            except codec.DecodeError:
-                pass
-        if b == B_ID_NULL:
-            out.append(("required.image_id", None, "error"))
-        if b == B_BYTES_NULL:
-            out.append(("required.bytes", iid, "error"))
-        if b == B_FMT_BAD:
-            out.append(("enum.fmt", iid, "error"))
-        if b == B_FMT_CASE:
-            out.append(("normalize.fmt", iid, "warning"))
-        if b == B_ID_PATTERN:
-            out.append(("pattern.image_id", iid, "error"))
-        if b in (B_W_ZERO, B_H_NEG, B_TOO_BIG):
-            out.append(("range.dims", iid, "error"))
-        if b == B_MAGIC:
-            out.append(("xfield.fmt_magic", iid, "error"))
-        if b == B_DIMS:
-            out.append(("xfield.dims_match", iid, "error"))
-        if b == B_CAP_NULL:
-            out.append(("recommended.caption", iid, "warning"))
-        if b == B_PHASH_NULL:
-            out.append(("recommended.phash", iid, "warning"))
-            if p.norm_fmt() in codec.LOSSY_FORMATS:
-                out.append(("conditional.phash_for_lossy", iid, "error"))
-        if b == B_PSNR:
-            out.append(("pixel.psnr", iid, "error"))
-        if b == B_SENT_WARN:
-            out.append(("sentinel.fmt", iid, "warning"))
-        if b == B_SENT_ERR:
-            out.append(("sentinel.fmt", iid, "error"))
-        if b == B_CORRUPT:
-            out.append(("pixel.decode", iid, "error"))
-        if b == B_LABEL_MISMATCH:
-            out.append(("consistency.caption_label", iid, "warning"))
-        if b == B_LABEL_BAD:
-            out.append(("vocab.label", iid, "error"))
-        if b == B_DATE_PATTERN:
-            out.append(("datepattern.collected_date", iid, "error"))
-        if b == B_DATE_INVALID:
-            out.append(("datevalid.collected_date", iid, "error"))
+        out.extend(findings)
     for iid, c in id_counts.items():
         if c > 1:
             out.append(("unique.image_id", iid, "error"))

@@ -1434,8 +1434,10 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dup) AS dup_ids,
     truth = (f"SELECT rule_id, severity, CAST(count AS BIGINT) AS count "
              f"FROM read_parquet('{p}/ground_truth_counts.parquet') "
              f"ORDER BY rule_id, severity")
+    summary = (f"SELECT * FROM "
+               f"read_parquet('{p}/ground_truth_summary.parquet')")
     return {"img_scalar_counts": scalar, "img_cross_counts": cross,
-            "img_rule_counts_truth": truth}
+            "img_rule_counts_truth": truth, "img_summary": summary}
 
 
 QUERIES = {
