@@ -124,3 +124,34 @@ def test_range_join_counts(ray_session):
     # rid=100 window [Jan1, Jan8): hits Jan1+Jan2 = 2; rid=101 [Jan15, Jan22):
     # hits Jan20 = 1; rid=300 key 3 has no left rows -> dropped
     assert got == {100: 2, 101: 1}
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Randomized cross-check against pandas.merge_asof (backward,
+    exact-match allowed): same keys, same times, same tie-break."""
+    import numpy as np
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.joins import asof_join
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nl, nr = 150, 80
+        left = pd.DataFrame({
+            "k": rng.integers(0, 12, nl),
+            "lt": pd.to_datetime("2024-01-01")
+                  + pd.to_timedelta(rng.integers(0, 10**6, nl), unit="s"),
+            "lid": np.arange(nl)})
+        right = pd.DataFrame({
+            "rk": rng.integers(0, 12, nr),
+            "rt": pd.to_datetime("2024-01-01")
+                  + pd.to_timedelta(rng.integers(0, 10**6, nr), unit="s"),
+            "rid": np.arange(nr)})
+        got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "k", "rk", "lt", "rt", ["lid"], ["rid"],
+                        right_tiebreak="rid")
+        ref = pd.merge_asof(
+            left.sort_values("lt"), right.sort_values(["rt", "rid"]),
+            left_on="lt", right_on="rt", left_by="k", right_by="rk",
+            direction="backward").dropna(subset=["rid"])
+        want = dict(zip(ref.lid.astype(int), ref.rid.astype(int)))
+        have = dict(zip(got.lid.astype(int), got.rid.astype(int)))
+        assert have == want, f"seed {seed}: {len(have)} vs {len(want)}"
