@@ -602,16 +602,11 @@ def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
             t.column("text"), "")))
-        toks: list[str] = []
-        for s in txt.to_pylist():
-            toks.extend(s.split())
-        if not toks:
-            return pa.table({"token": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
-                              return_counts=True)
-        return pa.table({"token": pa.array(uniq, type=pa.string()),
-                         "n": pa.array(cnt, type=pa.int64())})
+        flat = pc.list_flatten(pc.split_pattern_regex(txt, r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat.combine_chunks())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("token").aggregate(Sum("n", alias_name="n")))
