@@ -613,6 +613,13 @@ def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
     cand = agg.sort("n", descending=True).limit(2000).to_pandas()
     out = (cand.sort_values(["n", "token"], ascending=[False, True])
            .head(50).reset_index(drop=True))
+    if len(cand) == 2000 and int(cand["n"].min()) >= int(out["n"].min()):
+        # pathological tie plateau spans past the margin: the truncated pull
+        # may have dropped lexicographically-smaller ties — pull the full
+        # (aggregate-sized) vocab once for exactness
+        full = agg.to_pandas()
+        out = (full.sort_values(["n", "token"], ascending=[False, True])
+               .head(50).reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
     return out
 
