@@ -107,7 +107,11 @@ def collect_exemplars(ds: "rd.Dataset", key: str, row_key: str,
         if sub.num_rows == 0:
             return pa.table({key: pa.array([], type=t.column(key).type),
                              row_key: pa.array([], type=t.column(row_key).type)})
-        df = sub.to_pandas().groupby(key, sort=False).head(k)
+        # k-SMALLEST row_keys per key within the batch (not first-seen): the
+        # global sorted head over per-batch partials is then exactly the
+        # global k-smallest, independent of block size / batch order
+        df = (sub.to_pandas().sort_values(row_key)
+              .groupby(key, sort=False).head(k))
         return pa.Table.from_pandas(df, preserve_index=False)
 
     # distributed per-key head BEFORE the driver sees anything: the filtered
@@ -196,9 +200,15 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     summed = tagged.groupby("key").aggregate(Sum("own_cnt", alias_name="own_cnt"),
                                              Sum("cap_cnt", alias_name="cap_cnt"),
                                              Sum("cat_cnt", alias_name="cat_cnt"))
+    # own_cnt==0 keys matter only when something actually references them
+    # (cap_cnt>0): without the cap_cnt guard every unreferenced external-
+    # catalog key would reach the driver, scaling driver memory with catalog
+    # size instead of dup+orphan keys
     interesting = summed.map_batches(
-        lambda t: t.filter(pc.or_(pc.greater_equal(t.column("own_cnt"), min_count),
-                                  pc.equal(t.column("own_cnt"), 0))),
+        lambda t: t.filter(pc.or_(
+            pc.greater_equal(t.column("own_cnt"), min_count),
+            pc.and_(pc.equal(t.column("own_cnt"), 0),
+                    pc.greater(t.column("cap_cnt"), 0)))),
         batch_format="pyarrow").to_pandas()
     empty = (pd.DataFrame({id_col: [], "cnt": []}),
              pd.DataFrame({id_col: [], "left_cnt": []}),

@@ -129,13 +129,17 @@ class VideoFrameSample:
         ids, fidx, ws, hs, luma = [], [], [], [], []
         for vid, buf in zip(t.column(self.id_col).to_pylist(),
                             t.column("bytes").to_pylist()):
-            if buf is None or buf[:4] != VIDEO_MAGIC:
+            if buf is None or len(buf) < 8 or buf[:4] != VIDEO_MAGIC:
                 continue
             n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
             off = 8
             for i in range(n):
+                if off + 4 > len(buf):
+                    break  # truncated container: keep frames demuxed so far
                 ln = int(np.frombuffer(buf[off:off + 4], dtype=np.uint32)[0])
                 off += 4
+                if off + ln > len(buf):
+                    break
                 if i % self.step == 0:
                     try:
                         _, w, h, px = codec.decode(buf[off:off + ln])

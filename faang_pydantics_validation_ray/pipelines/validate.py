@@ -50,6 +50,13 @@ class ValidationOptions:
     psi_threshold: float = 0.2     # verdict: drift warning/fail above this
     neardup_min: int = 2
     n_salt: int = 16
+
+    def __post_init__(self):
+        # the fused cross-record shuffle prunes keys below cnt=2 before the
+        # driver; a neardup_min of 1 would declare EVERY phash a cluster
+        # (and could not be honored downstream) — fail loudly, don't clamp
+        if self.neardup_min < 2:
+            raise ValueError("neardup_min must be >= 2")
     # group (cross-record) rules — disabled in per-partition checkpointed
     # runs, where they execute once globally over narrow columns instead
     check_unique: bool = True

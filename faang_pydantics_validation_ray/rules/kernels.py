@@ -206,11 +206,19 @@ def unit_pattern(col: str, unit_col: str, patterns: dict[str, str],
     def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
         if col not in t.column_names or unit_col not in t.column_names:
             return []
+        vals = t.column(col).combine_chunks()
         bad = np.zeros(t.num_rows, dtype=bool)
         for unit, pat in patterns.items():
             sel = np_bool(pc.equal(t.column(unit_col), unit))
-            ok = np_bool(pc.match_substring_regex(t.column(col), pat))
-            bad |= sel & ~ok
+            if not sel.any():
+                continue
+            # regex only the rows declaring THIS unit (take → match →
+            # scatter): total regex work is one pass over the batch
+            # regardless of how many unit patterns exist
+            idx = np.nonzero(sel)[0]
+            ok = np_bool(pc.match_substring_regex(
+                pc.take(vals, pa.array(idx)), pat))
+            bad[idx[~ok]] = True
         return [(bad & ctx.present(col) & ctx.present(unit_col), severity, msg)]
     return kernel
 
@@ -251,7 +259,9 @@ def vocab_member(col: str, vocab: Sequence[str],
     (the reference's ontology-term existence check,
     /root/reference/generic_validator_classes.py:63-88)."""
     msg = f"value of '{col}' is not a known vocabulary term"
-    vs = pa.array(sorted(set(vocab)))
+    # explicit string type: pa.array([]) is null-typed and is_in raises on
+    # (string, null) when the vocab dim is empty
+    vs = pa.array(sorted(set(vocab)), type=pa.string())
 
     def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
         if col not in t.column_names:

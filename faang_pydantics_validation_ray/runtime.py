@@ -31,8 +31,9 @@ def ensure_shipped() -> None:
                     "functions.hashing", "functions.joins",
                     "functions.multimodal", "functions.sketches",
                     "functions.text", "imagetable.codec", "imagetable.datagen",
-                    "pipelines.profile", "pipelines.queries",
-                    "pipelines.report", "pipelines.validate", "rules.kernels",
+                    "pipelines.export", "pipelines.profile",
+                    "pipelines.queries", "pipelines.report",
+                    "pipelines.unified", "pipelines.validate", "rules.kernels",
                     "rules.image_rules", "rules.sentinels", "rules.serde",
                     "sources.readers", "stages.decode", "stages.validate_batch",
                     "state.checkpoint", "runtime"):

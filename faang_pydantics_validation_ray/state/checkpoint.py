@@ -42,10 +42,22 @@ from ..pipelines.validate import (
 )
 
 
-def _ruleset_version() -> str:
+def _ruleset_version(vocab=None) -> str:
+    """Version string identifying the EFFECTIVE ruleset: includes the
+    vocab-dependent rule ids and a content hash of the vocab terms, so
+    changing vocab.parquet changes every manifest's recorded version (a
+    resume cannot silently mix partitions validated under different
+    rulesets)."""
+    import hashlib
+
     from ..rules.image_rules import build_image_ruleset
-    rules = sorted(r.rule_id for r in build_image_ruleset().rules)
-    return f"{__version__}:{','.join(rules)}"
+    rules = sorted(r.rule_id for r in build_image_ruleset(vocab=vocab).rules)
+    v = f"{__version__}:{','.join(rules)}"
+    if vocab is not None:
+        vh = hashlib.md5("\x00".join(sorted(set(vocab)))
+                         .encode("utf-8")).hexdigest()[:12]
+        v += f":vocab={vh}"
+    return v
 
 
 def run_validation_checkpointed(input_dir: str, out_dir: str,
@@ -93,7 +105,7 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
         os.rename(tmp_dir, part_dir)
         manifest = {
             "partition": i, "input_files": [f],
-            "ruleset_version": _ruleset_version(),
+            "ruleset_version": _ruleset_version(vocab),
             "verdicts": res.verdicts.to_dict(orient="records"),
             "summary": res.summary,
             "profile": res.profile.drop(columns=[c for c in ("sketch",)
@@ -188,7 +200,7 @@ def run_validation_checkpointed(input_dir: str, out_dir: str,
         "invalid": int(sum(m["summary"]["invalid"] for m in manifests)),
         "warnings": int(sum(m["summary"]["warnings"] for m in manifests)),
         **gsum,
-        "ruleset_version": _ruleset_version(),
+        "ruleset_version": _ruleset_version(vocab),
     }
     if complete:
         verd.to_parquet(os.path.join(out_dir, "verdicts.parquet"))
