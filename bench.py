@@ -116,7 +116,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                   "ref_events_customer", "dedup_exact_documents",
                   "token_stats_documents", "ann_topk",
                   "minhash_neardup_documents", "simhash_neardup_documents",
-                  "asof_events_orders", "vocab_documents"):
+                  "asof_events_orders", "vocab_documents",
+                  "cluster_embeddings", "docfreq_documents",
+                  "quantiles_lineitem"):
         tq = time.perf_counter()
         Q.QUERIES[qname](sf_dir)
         qtimes[qname] = round(time.perf_counter() - tq, 3)

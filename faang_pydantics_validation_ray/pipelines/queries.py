@@ -636,6 +636,56 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def q_docfreq_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index document frequency (the IDF half of TF-IDF): per-batch
+    per-doc DISTINCT tokens — exact because one row IS one document — via a
+    vectorized (parent_row, token) drop_duplicates, partial df counts summed
+    in ONE (token, df) groupby shuffle, deterministic global top-50 with the
+    same tie-plateau-safe pull margin as the vocab build. No document text
+    crosses any exchange."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+            t.column("text"), "")))
+        lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        pairs = pd.DataFrame({
+            "i": flat.filter(mask).to_pandas(),
+            "p": parent.filter(mask).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        vc = pairs["i"].value_counts()
+        return pa.table({"token": pa.array(vc.index, type=pa.string()),
+                         "df": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    cand = agg.sort("df", descending=True).limit(2000).to_pandas()
+    out = (cand.sort_values(["df", "token"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    if len(cand) == 2000 and int(cand["df"].min()) >= int(out["df"].min()):
+        full = agg.to_pandas()
+        out = (full.sort_values(["df", "token"], ascending=[False, True])
+               .head(50).reset_index(drop=True))
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+SQL_DOCFREQ_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+             lower(trim(COALESCE(text, ''))), '\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks WHERE token != ''
+GROUP BY token ORDER BY df DESC, token LIMIT 50
+"""
+
+
 def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: text.fingerprint_batch(t).select(
@@ -697,6 +747,66 @@ GROUP BY h ORDER BY doc_id
 """
 
 
+def q_hist_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of l_extendedprice (bucket width 5000), the
+    distribution-profiling primitive behind the drift sketches: per-batch
+    np.unique bucket partials → ONE (bucket, n) groupby-sum — only aggregate
+    rows cross the exchange, never values."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        b = np.floor(x / 5000.0).astype(np.int64)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n", alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_HIST_LINEITEM = """
+SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group p50/p95/p99 with no sort and no per-group
+    materialization: iterative histogram refinement
+    (functions/quantiles.py) — each round one streaming pass shipping only
+    (target, bucket, count) partials, interval narrowed 128× until a
+    bounded exact fetch. The precise counterpart to the one-pass t-digest
+    sketches."""
+    from ..functions.quantiles import exact_group_quantiles
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag",
+                                            "l_extendedprice"])
+    out = exact_group_quantiles(ds, "l_returnflag", "l_extendedprice",
+                                qs=(0.5, 0.95, 0.99), fetch_cap=2048)
+    piv = out.pivot(index="l_returnflag", columns="q",
+                    values="value").reset_index()
+    piv.columns.name = None
+    piv = piv.rename(columns={0.5: "p50", 0.95: "p95", 0.99: "p99"})
+    return (piv[["l_returnflag", "p50", "p95", "p99"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+SQL_QUANTILES_LINEITEM = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------------------------- ANN
 
 
@@ -733,6 +843,70 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
                               n_planes=10, probes=2)
     out["score"] = out["score"].round(4)
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+def q_cluster_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cluster assignment step (the SemDeDup-style semantic-
+    curation primitive, and the inner loop of distributed k-means): K fixed
+    centroids (the vec_id<8 rows — deterministic, data-derived), every
+    embedding assigned to its cosine-argmax centroid in one broadcast-matmul
+    pass; per-cluster count + mean similarity from per-batch bincount
+    partials through a tiny groupby-sum. At 100 TB only (cluster, n, sum)
+    partial rows cross the exchange — embeddings never move."""
+    import ray
+
+    from ray.data.aggregate import Sum
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ct = t.filter(pc.less(t.column("vec_id"), 8)).sort_by("vec_id")
+    cents = ann._normalize(np.stack([np.asarray(x, dtype=np.float64)
+                                     for x in ct.column("embedding").to_pylist()]))
+    cref = ray.put(cents)
+
+    def partial(tb: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = ann._normalize(ann._batch_matrix(tb.column("embedding")))
+        if e.shape[0] == 0:
+            return pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_sim": pa.array([], type=pa.float64())})
+        sims = e @ c.T
+        # argmax takes the LOWEST centroid id on exact ties — same order the
+        # oracle's row_number(ORDER BY sim DESC, cluster_id) produces
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        n = np.bincount(assign, minlength=c.shape[0])
+        s = np.bincount(assign, weights=best, minlength=c.shape[0])
+        keep = n > 0
+        return pa.table({"cluster_id": pa.array(np.flatnonzero(keep),
+                                                type=pa.int64()),
+                         "n": pa.array(n[keep], type=pa.int64()),
+                         "sum_sim": pa.array(s[keep], type=pa.float64())})
+
+    agg = (_read(sf_dir, "embeddings", columns=["embedding"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cluster_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_sim", alias_name="sum_sim")).to_pandas())
+    agg["mean_sim"] = (agg["sum_sim"] / agg["n"]).round(4)
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["cluster_id", "n", "mean_sim"]]
+            .sort_values("cluster_id").reset_index(drop=True))
+
+
+SQL_CLUSTER_EMBEDDINGS = """
+WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+           WHERE vec_id < 8),
+s AS (SELECT e.vec_id, c.cluster_id,
+             list_cosine_similarity(e.embedding, c.embedding) AS sim
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, cluster_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cluster_id) AS rn
+      FROM s)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sim), 4) AS mean_sim
+FROM a WHERE rn = 1 GROUP BY cluster_id ORDER BY cluster_id
+"""
 
 
 # --------------------------------------------- joins / distinct / export
@@ -1467,7 +1641,10 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
+    "docfreq_documents": q_docfreq_documents,
     "split_documents": q_split_documents,
+    "hist_lineitem": q_hist_lineitem,
+    "quantiles_lineitem": q_quantiles_lineitem,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1486,6 +1663,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "cluster_embeddings": q_cluster_embeddings,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "neardup_clusters_documents": q_neardup_clusters_documents,
@@ -1523,7 +1701,10 @@ ORACLES = {
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "langid_documents": SQL_LANGID_DOCUMENTS,
     "vocab_documents": SQL_VOCAB_DOCUMENTS,
+    "docfreq_documents": SQL_DOCFREQ_DOCUMENTS,
     "split_documents": SQL_SPLIT_DOCUMENTS,
+    "hist_lineitem": SQL_HIST_LINEITEM,
+    "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
     "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
@@ -1535,6 +1716,7 @@ ORACLES = {
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
+    "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     **_img_oracle_sqls(),
 }

@@ -29,7 +29,8 @@ def ensure_shipped() -> None:
         pkg = __name__.rsplit(".", 1)[0]
         for sub in ("functions.ann", "functions.dedup", "functions.groups",
                     "functions.hashing", "functions.joins",
-                    "functions.multimodal", "functions.sketches",
+                    "functions.multimodal", "functions.quantiles",
+                    "functions.sketches",
                     "functions.text", "imagetable.codec", "imagetable.datagen",
                     "pipelines.export", "pipelines.profile",
                     "pipelines.queries", "pipelines.report",
