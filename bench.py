@@ -118,7 +118,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                   "minhash_neardup_documents", "simhash_neardup_documents",
                   "asof_events_orders", "vocab_documents",
                   "cluster_embeddings", "docfreq_documents",
-                  "quantiles_lineitem"):
+                  "quantiles_lineitem", "tfidf_documents"):
         tq = time.perf_counter()
         Q.QUERIES[qname](sf_dir)
         qtimes[qname] = round(time.perf_counter() - tq, 3)

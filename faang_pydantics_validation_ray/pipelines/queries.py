@@ -686,6 +686,100 @@ GROUP BY token ORDER BY df DESC, token LIMIT 50
 """
 
 
+def q_tfidf_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document: the df map is built distributively
+    (same (token, df) groupby-sum as q_docfreq_documents, WITHOUT the
+    top-k cut) and broadcast once via ray.put; scoring is a single
+    streaming pass (tf is exact per batch because one row IS one doc).
+    Broadcast assumes the vocab fits a worker heap — on an open-web corpus
+    swap the broadcast for a Dataset join of (doc, token, tf) against
+    (token, df) on the token key; the scoring algebra is unchanged."""
+    import ray
+
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+            t.column("text"), "")))
+        lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        pairs = pd.DataFrame({
+            "i": flat.filter(mask).to_pandas(),
+            "p": parent.filter(mask).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        vc = pairs["i"].value_counts()
+        return pa.table({"token": pa.array(vc.index, type=pa.string()),
+                         "df": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    dfm = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    df_ref = ray.put(pd.Series(dfm["df"].to_numpy(),
+                               index=dfm["token"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+            t.column("text"), "")))
+        lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "token": flat.filter(mask).to_pandas(),
+            "doc_id": ids[parent.filter(mask).to_numpy(
+                zero_copy_only=False)],
+        })
+        tf = (d.groupby(["doc_id", "token"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["score"] = tf["tf"] * np.log(
+            float(n_docs) / tf["token"].map(dfs).to_numpy())
+        top = (tf.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True])
+               .groupby("doc_id", sort=False).head(3))
+        top = top.assign(rn=top.groupby("doc_id").cumcount() + 1)
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(), type=pa.int64()),
+            "token": pa.array(top["token"], type=pa.string()),
+            "score": pa.array(top["score"].round(6).to_numpy(),
+                              type=pa.float64()),
+            "rn": pa.array(top["rn"].to_numpy(), type=pa.int64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+
+SQL_TFIDF_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+             lower(trim(COALESCE(text, ''))), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token != '' GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE token != '' GROUP BY token
+), n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), r AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rn
+  FROM s)
+SELECT doc_id, token, ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
 def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: text.fingerprint_batch(t).select(
@@ -1642,6 +1736,7 @@ QUERIES = {
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
     "docfreq_documents": q_docfreq_documents,
+    "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
     "hist_lineitem": q_hist_lineitem,
     "quantiles_lineitem": q_quantiles_lineitem,
@@ -1702,6 +1797,7 @@ ORACLES = {
     "langid_documents": SQL_LANGID_DOCUMENTS,
     "vocab_documents": SQL_VOCAB_DOCUMENTS,
     "docfreq_documents": SQL_DOCFREQ_DOCUMENTS,
+    "tfidf_documents": SQL_TFIDF_DOCUMENTS,
     "split_documents": SQL_SPLIT_DOCUMENTS,
     "hist_lineitem": SQL_HIST_LINEITEM,
     "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
