@@ -473,9 +473,9 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
     completes the dedup pipeline: candidates → verify → clusters → survivors.
 
     Driver-side union-find: the verified-pair set is sparse (bounded by true
-    near-dups, not by corpus size). For adversarial inputs with huge
-    near-dup components, run iterative min-label propagation with a groupby
-    per round instead (see functions/groups.py patterns)."""
+    near-dups, not by corpus size). For pair sets past the driver bound use
+    ``connected_components_distributed`` below — identical labels, computed
+    by distributed pointer-jumping min-label propagation."""
     parent: dict = {}
 
     def find(x):
@@ -496,3 +496,121 @@ def cluster_pairs(pairs: pd.DataFrame, id_a: str = "id_a",
         "cluster_id": [roots[i] for i in ids],
         "keep": [i == roots[i] for i in ids],
     })
+
+
+def connected_components_distributed(pairs_ds, id_a: str = "id_a",
+                                     id_b: str = "id_b",
+                                     max_rounds: int = 50) -> pd.DataFrame:
+    """The scale path ``cluster_pairs`` names: distributed min-label
+    propagation over the verified-pair EDGE dataset, for inputs whose pair
+    set outgrows the driver (adversarial mass-duplicate corpora).
+
+    Labels live in an (id, label) Dataset; every round (a) hash-joins the
+    static bidirectional edge list against the current labels and takes
+    the per-node lexicographic MIN over neighbor labels ∪ own label —
+    exactly the string ordering the union-find uses, so outputs are
+    identical — then (b) pointer-jumps: label(v) ← label(label(v)) via a
+    labels⋈labels self-join, which doubles compressed-path length so even
+    a pure chain converges in O(log n) rounds instead of O(diameter).
+    Convergence is detected by an order-independent label checksum (one
+    tiny aggregate — no extra join). Only (id, label) / (src, dst) string
+    rows ever cross an exchange, and each round's labels are materialized
+    so the lineage stays one round deep.
+    """
+    from ray.data.aggregate import Min
+
+    from ..runtime import ensure_shipped
+    from .joins import _np
+    ensure_shipped()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(id_a), pa.string()).combine_chunks()
+        b = pc.cast(t.column(id_b), pa.string()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    def norm(t: pa.Table) -> pa.Table:
+        # Aggregate outputs are pandas blocks; re-emit every non-empty block
+        # as a typed arrow table so unions/joins never see mixed block types.
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return pa.table({"id": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.string())})
+        return pa.table({"id": pc.cast(t.column("id"), pa.string()),
+                         "label": pc.cast(t.column("label"), pa.string())})
+
+    def compact(ds):
+        """Drop zero-row blocks from a MATERIALIZED dataset (metadata-only —
+        no block is fetched to the driver). Empty sort-aggregate partitions
+        emit COLUMNLESS empty blocks which `map_batches` never passes to the
+        UDF (an empty block yields zero batches), and Ray's hash-join builds
+        a columnless partition table from them, making pyarrow's join fail
+        with 'No match for FieldRef'. Filtering the refs sidesteps that."""
+        import ray as _ray
+        import ray.data as _rd
+        refs = [blk for bundle in ds.iter_internal_ref_bundles()
+                for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+        if not refs:
+            return _rd.from_arrow(
+                pa.table({"id": pa.array([], type=pa.string()),
+                          "label": pa.array([], type=pa.string())}))
+        return _rd.from_arrow_refs(refs)
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"id": pd.Series([], dtype=object),
+                             "cluster_id": pd.Series([], dtype=object),
+                             "keep": pd.Series([], dtype=bool)})
+    edges = compact(edges)
+    labels = compact(edges.map_batches(
+        lambda t: pa.table({"id": t.column("src"),
+                            "label": t.column("src")}),
+        batch_format="pyarrow")
+        .groupby("id").aggregate(Min("label", alias_name="label"))
+        .map_batches(norm, batch_format="pyarrow")
+        .materialize())
+
+    def checksum(lab) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            h = hash_column(pc.binary_join_element_wise(
+                t.column("id"), t.column("label"), "\x00"))
+            return pa.table({"s": pa.array(
+                [int(np.bitwise_xor.reduce(h.view(np.uint64)))
+                 if len(h) else 0], type=pa.uint64())})
+        parts = lab.map_batches(part, batch_format="pyarrow").to_pandas()
+        return int(np.bitwise_xor.reduce(parts["s"].to_numpy().view(
+            np.uint64))) if len(parts) else 0
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        nbr = (edges.join(labels, join_type="inner",
+                          num_partitions=_np(None),
+                          on=("src",), right_on=("id",))
+               .map_batches(lambda t: pa.table({
+                   "id": t.column("dst"), "label": t.column("label")}),
+                   batch_format="pyarrow"))
+        labels = compact(labels.union(nbr).groupby("id")
+                         .aggregate(Min("label", alias_name="label"))
+                         .map_batches(norm, batch_format="pyarrow")
+                         .materialize())
+        # pointer jumping: label is always itself a node id, so the inner
+        # self-join matches every row; label(label(v)) <= label(v) because
+        # labels are monotonically non-increasing
+        ren = labels.map_batches(
+            lambda t: pa.table({"lid": t.column("id"),
+                                "llabel": t.column("label")}),
+            batch_format="pyarrow")
+        labels = compact(labels.join(ren, join_type="inner",
+                                     num_partitions=_np(None),
+                                     on=("label",), right_on=("lid",))
+                         .map_batches(lambda t: pa.table({
+                             "id": t.column("id"),
+                             "label": t.column("llabel")}),
+                             batch_format="pyarrow").materialize())
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    out = labels.to_pandas().rename(columns={"label": "cluster_id"})
+    out["keep"] = out["id"] == out["cluster_id"]
+    return out.sort_values("id").reset_index(drop=True)

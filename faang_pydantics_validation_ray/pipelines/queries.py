@@ -1321,12 +1321,19 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     """Full dedup chain: MinHash-LSH candidates → exact Jaccard verify →
-    union-find clusters → survivor marking."""
+    cluster resolution → survivor marking. Sparse verified-pair sets
+    resolve with the driver union-find; past the driver bound the SAME
+    pairs go through distributed pointer-jumping label propagation
+    (dedup.connected_components_distributed), which produces identical
+    labels."""
+    import ray.data as rd
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = dedup.minhash_lsh_candidates(ds)
     pairs = dedup.verify_candidates_distributed(ds, cand, threshold=0.6)
     if pairs.empty:
         return pd.DataFrame({"id": [], "cluster_id": [], "keep": []})
+    if len(pairs) > 200_000:
+        return dedup.connected_components_distributed(rd.from_pandas(pairs))
     return dedup.cluster_pairs(pairs)
 
 

@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data as rd
 
 from faang_pydantics_validation_ray.functions import ann, dedup, multimodal, text
 
@@ -264,6 +265,29 @@ def test_cluster_pairs():
     assert by_id[1] != by_id[10]
     keeps = set(out[out.keep].id)
     assert keeps == {1, 10}
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Distributed pointer-jumping label propagation (the cluster_pairs
+    scale path) yields byte-identical labels to the driver union-find,
+    including on a chain (worst-case diameter, exercises >1 round)."""
+    pairs = pd.DataFrame({
+        # two components: a triangle+tail and a 6-node chain (string order)
+        "id_a": ["a1", "a2", "a3", "c0", "c1", "c2", "c3", "c4"],
+        "id_b": ["a2", "a3", "a1", "c1", "c2", "c3", "c4", "c5"],
+    })
+    want = dedup.cluster_pairs(pairs).astype(str) \
+        .sort_values("id").reset_index(drop=True)
+    got = dedup.connected_components_distributed(
+        rd.from_pandas(pairs).repartition(3)).astype(str) \
+        .sort_values("id").reset_index(drop=True)
+    assert want.equals(got), (want, got)
+
+
+def test_connected_components_distributed_empty(ray_session):
+    out = dedup.connected_components_distributed(
+        rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": []})))
+    assert len(out) == 0
 
 
 def test_video_frame_sample_stage(ray_session):
