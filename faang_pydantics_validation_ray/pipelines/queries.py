@@ -1218,6 +1218,58 @@ FROM s
 """
 
 
+def q_window_cumsum_orders(sf_dir: str) -> pd.DataFrame:
+    """SQL-window running aggregate: per-customer cumulative spend +
+    row_number ordered by (date, key) — the sort + boundary-offset design
+    in functions/window.py (ONE range-shuffle sort; only 2 boundary summary
+    rows per block visit the driver)."""
+    from ..functions import window
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+    out = window.cumulative_by_key(
+        ds, key="o_custkey", order=["o_orderdate", "o_orderkey"],
+        value="o_totalprice", out_sum="cum_spend", out_rn="rn").to_pandas()
+    out["cum_spend"] = out["cum_spend"].round(2)
+    out["rn"] = out["rn"].astype("int64")
+    return (out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+            .reset_index(drop=True))
+
+
+SQL_WINDOW_CUMSUM_ORDERS = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 2) AS cum_spend,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def q_window_lag_events(sf_dir: str) -> pd.DataFrame:
+    """SQL lag() window: previous event value per user ordered by
+    (ts, event_id), null at each user's first event — boundary-carry lag
+    from functions/window.py (exact, no per-group Python)."""
+    from ..functions import window
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    out = window.lag_by_key(
+        ds, key="user_id", order=["ts", "event_id"], value="value",
+        out="prev_value").to_pandas()
+    out["value"] = out["value"].round(4)
+    out["prev_value"] = out["prev_value"].round(4)
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
+
+
+SQL_WINDOW_LAG_EVENTS = """
+SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
+       ROUND(lag(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 4) AS prev_value
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+
 def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
     """A3 distinct-set collection via Dataset.unique."""
     vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
@@ -1758,6 +1810,8 @@ QUERIES = {
     "range_join_lineitem_orders": q_range_join_lineitem_orders,
     "events_sliding_window": q_events_sliding_window,
     "events_sessions": q_events_sessions,
+    "window_cumsum_orders": q_window_cumsum_orders,
+    "window_lag_events": q_window_lag_events,
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
     "export_valid_orders": q_export_valid_orders,
@@ -1816,6 +1870,8 @@ ORACLES = {
     "range_join_lineitem_orders": SQL_RANGE_JOIN_LINEITEM_ORDERS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "window_cumsum_orders": SQL_WINDOW_CUMSUM_ORDERS,
+    "window_lag_events": SQL_WINDOW_LAG_EVENTS,
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
