@@ -901,6 +901,144 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Bivariate stats as a pure combiner: per-batch moment partials merged
+    with the pairwise-update formula (functions/stats.py) — no shuffle, no
+    materialization, numerically stable at 10^12 rows."""
+    from ..functions import stats
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    out = stats.pearson(ds, "l_quantity", "l_extendedprice")
+    out["corr"] = out["corr"].round(6)
+    out["covar_pop"] = out["covar_pop"].round(4)
+    out["covar_samp"] = out["covar_samp"].round(4)
+    return out
+
+
+SQL_CORR_LINEITEM = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
+def q_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(status, priority): all three aggregation levels from
+    ONE shuffle — per-batch partials are emitted once per level with the
+    rolled columns pre-nulled, then a single groupby sums them (the same
+    key-namespace-tagging trick the flagship's fused cross-record shuffle
+    uses). Ray's sort-based shuffle rejects null keys, so rolled-up
+    positions carry a \\x00 sentinel through the exchange and are mapped
+    back to null on the (tiny) driver-side aggregate."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    SENT = "\x00ALL"
+
+    def levels(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("o_orderstatus"), pa.string()).combine_chunks()
+        p = pc.cast(t.column("o_orderpriority"),
+                    pa.string()).combine_chunks()
+        v = t.column("o_totalprice").combine_chunks()
+        sent = pa.array([SENT] * t.num_rows, type=pa.string())
+        return pa.table({
+            "o_orderstatus": pa.concat_arrays([s, s, sent]),
+            "o_orderpriority": pa.concat_arrays([p, sent, sent]),
+            "one": pa.array([1] * (3 * t.num_rows), type=pa.int64()),
+            "price": pa.concat_arrays([v] * 3),
+        })
+
+    out = (ds.map_batches(levels, batch_format="pyarrow")
+           .groupby(["o_orderstatus", "o_orderpriority"])
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("price", alias_name="sum_price"))
+           .to_pandas())
+    out = out.replace({SENT: None})
+    out["n"] = out["n"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return (out.sort_values(["o_orderstatus", "o_orderpriority"],
+                            na_position="first")
+            .reset_index(drop=True))
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def q_pivot_orders(sf_dir: str) -> pd.DataFrame:
+    """Pivot to wide: status rows × priority count columns. ONE narrow
+    groupby of (status, priority) count partials; the driver reshapes the
+    tiny aggregate (|statuses| × |priorities| cells)."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority"])
+    agg = (ds.groupby(["o_orderstatus", "o_orderpriority"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    prio_cols = {"1-URGENT": "p1_urgent", "2-HIGH": "p2_high",
+                 "3-MEDIUM": "p3_medium", "4-NOT SPECIFIED": "p4_notspec",
+                 "5-LOW": "p5_low"}
+    wide = (agg.pivot_table(index="o_orderstatus",
+                            columns="o_orderpriority", values="n",
+                            aggfunc="sum", fill_value=0)
+            .rename(columns=prio_cols).reset_index())
+    wide.columns.name = None
+    for c in prio_cols.values():
+        if c not in wide.columns:
+            wide[c] = 0
+        wide[c] = wide[c].astype("int64")
+    return (wide[["o_orderstatus"] + list(prio_cols.values())]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
+SQL_PIVOT_ORDERS = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+           AS p1_urgent,
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+           AS p2_high,
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+           AS p3_medium,
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+           AS p4_notspec,
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+           AS p5_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_stringagg_nation(sf_dir: str) -> pd.DataFrame:
+    """Ordered set-collection per group (SQL string_agg ... ORDER BY):
+    dimension-table scale, one groupby + deterministic in-group sort."""
+    ds = _read(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_regionkey": [g["n_regionkey"].iloc[0]],
+            "nations": [",".join(sorted(g["n_name"]))],
+        })
+
+    out = (ds.groupby("n_regionkey").map_groups(agg, batch_format="pandas")
+           .to_pandas())
+    out["n_regionkey"] = out["n_regionkey"].astype("int64")
+    return out.sort_values("n_regionkey").reset_index(drop=True)
+
+
+SQL_STRINGAGG_NATION = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 # ------------------------------------------------------------------- ANN
 
 
@@ -1799,6 +1937,10 @@ QUERIES = {
     "split_documents": q_split_documents,
     "hist_lineitem": q_hist_lineitem,
     "quantiles_lineitem": q_quantiles_lineitem,
+    "corr_lineitem": q_corr_lineitem,
+    "rollup_orders": q_rollup_orders,
+    "pivot_orders": q_pivot_orders,
+    "stringagg_nation": q_stringagg_nation,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1862,6 +2004,10 @@ ORACLES = {
     "split_documents": SQL_SPLIT_DOCUMENTS,
     "hist_lineitem": SQL_HIST_LINEITEM,
     "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
+    "corr_lineitem": SQL_CORR_LINEITEM,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "pivot_orders": SQL_PIVOT_ORDERS,
+    "stringagg_nation": SQL_STRINGAGG_NATION,
     "corpus_clean_documents": SQL_CORPUS_CLEAN_DOCUMENTS,
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
