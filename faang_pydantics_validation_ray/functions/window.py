@@ -163,6 +163,98 @@ def lag_by_key(ds, key: str, order: list[str], value: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def rank_by_key(ds, key: str, value: str,
+                out_rank: str = "rnk", out_dense: str = "drnk"):
+    """→ Dataset(key, ..., value, out_rank, out_dense): SQL ``rank()`` and
+    ``dense_rank() OVER (PARTITION BY key ORDER BY value)`` — tied values
+    share a rank; rank gaps after ties, dense_rank has none.
+
+    Same ONE-range-shuffle design as ``cumulative_by_key``; the boundary
+    pass ships 9 scalars per block (never rows), and the driver threads a
+    single (key, rows, last_val, rank, dense) carry — a value run or key
+    segment spanning many blocks is exact."""
+    import ray
+    import ray.data as rd
+
+    from ..runtime import ensure_shipped
+    ensure_shipped()
+
+    sorted_ds = ds.sort([key, value]).materialize()
+    refs = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
+            for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def boundary(blk):
+        """Last-key-segment partials: (first_k, last_k, seg_rows,
+        rows_below_last_val, n_distinct, first_val_of_seg, last_val)."""
+        t = _as_table(blk)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        seg = k == k[-1]
+        sv = v[seg]
+        return (k[0], k[-1], int(seg.sum()),
+                int((sv != sv[-1]).sum()),          # sorted: != ⇒ <
+                int(1 + (sv[1:] != sv[:-1]).sum()),
+                sv[0], sv[-1])
+
+    summaries = ray.get([boundary.remote(r) for r in refs])
+
+    # Thread the carry: (rows_so_far, last_val, rank(last_val),
+    # dense(last_val)) for the key that may continue into the next block.
+    offsets = []
+    carry_key, carry = None, None
+    for first_k, last_k, s, b, d, fv, lv in summaries:
+        off = carry if carry is not None and carry_key == first_k else None
+        offsets.append(off)
+        if first_k != last_k or off is None:
+            carry = (s, lv, b + 1, d)
+        else:
+            R0, lv0, r0, d0 = off
+            if lv == lv0:                       # whole block equals lv0
+                carry = (R0 + s, lv, r0, d0)
+            else:
+                carry = (R0 + s, lv, R0 + b + 1,
+                         d0 + d - (1 if fv == lv0 else 0))
+        carry_key = last_k
+
+    @ray.remote
+    def apply(blk, off):
+        t = _as_table(blk)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        n = len(k)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        start_idx = np.flatnonzero(new_seg)
+        val_change = new_seg.copy()
+        val_change[1:] |= v[1:] != v[:-1]
+        # rank: run-start position within segment; dense: distinct count
+        run_start = np.maximum.accumulate(
+            np.where(val_change, np.arange(n), -1))
+        rank = run_start - start_idx[seg_id] + 1
+        dcs = np.cumsum(val_change)
+        dense = dcs - (dcs[start_idx] - 1)[seg_id]
+        if off is not None:
+            R0, lv0, r0, d0 = off
+            first = seg_id == 0
+            eq = first & (v == lv0)
+            gt = first & ~eq
+            fv_eq = v[0] == lv0
+            rank = np.where(eq, r0, np.where(gt, rank + R0, rank))
+            dense = np.where(eq, d0,
+                             np.where(gt, dense + d0 - (1 if fv_eq else 0),
+                                      dense))
+        return t.append_column(out_rank, pa.array(rank, type=pa.int64())) \
+                .append_column(out_dense, pa.array(dense, type=pa.int64()))
+
+    out_refs = [apply.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def cumulative_by_key_groups(ds, key: str, order: list[str], value: str,
                              out_sum: str = "cum_sum", out_rn: str = "rn"):
     """Reference implementation via groupby().map_groups (per-key pandas

@@ -1408,6 +1408,81 @@ FROM events ORDER BY user_id, ts, event_id
 """
 
 
+def q_window_rank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """SQL rank()/dense_rank() per partition: heavy-tie case (l_quantity is
+    a ~50-value domain, so value runs span sort blocks) — exact via the
+    boundary-carry design in functions/window.rank_by_key (ONE
+    range-shuffle sort; 9 scalars per block visit the driver)."""
+    from ..functions import window
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_quantity"])
+    out = window.rank_by_key(ds, key="l_returnflag",
+                             value="l_quantity").to_pandas()
+    for c in ("l_orderkey", "l_linenumber", "rnk", "drnk"):
+        out[c] = out[c].astype("int64")
+    out["l_quantity"] = out["l_quantity"].astype("float64").round(2)
+    return (out.sort_values(["l_returnflag", "l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+SQL_WINDOW_RANK_LINEITEM = """
+SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(CAST(l_quantity AS DOUBLE), 2) AS l_quantity,
+       CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+            AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity) AS BIGINT) AS drnk
+FROM lineitem ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+def q_ntile_orders(sf_dir: str) -> pd.DataFrame:
+    """SQL ntile(4) per status: composes the distributed row_number
+    (functions/window.cumulative_by_key) with a broadcast per-key count —
+    the count aggregate is |statuses| rows, the tile math is a vectorized
+    map_batches; no second shuffle."""
+    from ..functions import window
+    K = 4
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderkey", "o_totalprice"])
+    counts = dict(ds.groupby("o_orderstatus").count().to_pandas()
+                  .itertuples(index=False, name=None))
+    rn_ds = window.cumulative_by_key(
+        ds, key="o_orderstatus", order=["o_totalprice", "o_orderkey"],
+        value="o_totalprice", out_sum="_cum", out_rn="rn")
+
+    def tile(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        n = np.vectorize(counts.__getitem__, otypes=[np.int64])(k)
+        small = n // K
+        big = n % K
+        cutoff = big * (small + 1)
+        in_big = rn <= cutoff
+        tiles = np.where(
+            in_big, (rn - 1) // np.maximum(small + 1, 1) + 1,
+            big + (rn - cutoff - 1) // np.maximum(small, 1) + 1)
+        return (t.drop_columns(["_cum", "rn"])
+                .append_column("tile", pa.array(tiles, type=pa.int64())))
+
+    out = rn_ds.map_batches(tile, batch_format="pyarrow").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return (out.sort_values(["o_orderstatus", "o_orderkey"])
+            .reset_index(drop=True))
+
+
+SQL_NTILE_ORDERS = """
+SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+FROM orders ORDER BY o_orderstatus, o_orderkey
+"""
+
+
 def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
     """A3 distinct-set collection via Dataset.unique."""
     vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
@@ -1954,6 +2029,8 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "window_cumsum_orders": q_window_cumsum_orders,
     "window_lag_events": q_window_lag_events,
+    "window_rank_lineitem": q_window_rank_lineitem,
+    "ntile_orders": q_ntile_orders,
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
     "export_valid_orders": q_export_valid_orders,
@@ -2018,6 +2095,8 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "window_cumsum_orders": SQL_WINDOW_CUMSUM_ORDERS,
     "window_lag_events": SQL_WINDOW_LAG_EVENTS,
+    "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
+    "ntile_orders": SQL_NTILE_ORDERS,
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
