@@ -83,27 +83,105 @@ class MinHasher:
             m = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % MERSENNE
         return m.min(axis=1)
 
+    def signatures_batch(self, sh: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix over concatenated shingle
+        hashes ``sh`` sliced per doc by ``ptr`` — one ``minimum.reduceat``
+        per permutation instead of one numpy call per DOC (the round-1
+        per-row loop). Duplicate shingles don't affect the min, so ``sh``
+        need not be uniqued."""
+        n = len(ptr) - 1
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        v = ptr[1:] - ptr[:-1]
+        nz = v > 0
+        if not nz.any():
+            return sigs
+        starts = ptr[:-1][nz]
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                hp = (self.a[p] * sh + self.b[p]) % MERSENNE
+                sigs[nz, p] = np.minimum.reduceat(hp, starts)
+        return sigs
+
+
+def _window_hashes(texts: "pa.Array | pa.ChunkedArray",
+                   k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All char-k-gram hashes for a batch of (already-lowered) strings in
+    ONE pass over the Arrow data buffer — zero string decode, no per-row
+    Python. → (hashes uint64, ptr int64[n+1]) with doc i's (non-uniqued)
+    hashes at ``hashes[ptr[i]:ptr[i+1]]``. Docs shorter than ``k`` bytes
+    (including empty) get one whole-text hash (``_shingle_hashes`` parity).
+    """
+    arr = (texts.combine_chunks()
+           if isinstance(texts, pa.ChunkedArray) else texts)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint64),
+                np.zeros(1, dtype=np.int64))
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.empty(0, dtype=np.uint8))
+    L = off[1:] - off[:-1]
+    v = np.maximum(L - k + 1, 0)
+
+    n_w = max(len(data) - k + 1, 0)
+    H = np.zeros(n_w, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        for j in range(k):
+            H += data[j:j + n_w].astype(np.uint64) * pw[j]
+
+    total = int(v.sum())
+    csum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+    if total:
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(csum[:-1], v) + np.repeat(off[:-1], v))
+        sh = H[idx]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+    short = L < k
+    if not short.any():
+        return sh, csum
+    # rare path: docs shorter than k get one whole-text hash spliced in
+    short_hashes = hash_column(arr.filter(pa.array(short)))
+    segs = np.split(sh, csum[1:-1])
+    si = 0
+    for i in np.flatnonzero(short):
+        segs[i] = short_hashes[si:si + 1]
+        si += 1
+    sh2 = np.concatenate(segs) if segs else np.empty(0, dtype=np.uint64)
+    v2 = np.where(short, 1, v)
+    ptr2 = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v2)])
+    return sh2.astype(np.uint64), ptr2
+
 
 def minhash_band_rows(t: pa.Table, col: str, id_col: str, hasher: MinHasher,
                       bands: int, k: int = 5) -> pa.Table:
-    """(band_id, band_hash, id) rows for LSH bucketing — the explode step."""
+    """(band_id, band_hash, id) rows for LSH bucketing — the explode step.
+    Fully vectorized: one buffer-level shingle pass + one reduceat per
+    permutation per batch (no per-doc Python)."""
     rows_per_band = hasher.num_perm // bands
-    texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pylist()
-    ids = t.column(id_col).to_pylist()
-    b_id, b_hash, b_doc = [], [], []
+    n = t.num_rows
+    texts = pc.utf8_lower(pc.fill_null(t.column(col), ""))
+    sh, ptr = _window_hashes(texts, k)
+    sigs = hasher.signatures_batch(sh, ptr)
     with np.errstate(over="ignore"):
         pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(rows_per_band,
                                                         dtype=np.uint64)
-        for doc, txt in zip(ids, texts):
-            sig = hasher.signature(_shingle_hashes(txt, k))
-            bh = (sig.reshape(bands, rows_per_band) * pw).sum(axis=1,
-                                                              dtype=np.uint64)
-            b_id.extend(range(bands))
-            b_hash.extend(bh.astype(np.int64).tolist())
-            b_doc.extend([doc] * bands)
-    return pa.table({"band_id": pa.array(b_id, type=pa.int32()),
-                     "band_hash": pa.array(b_hash, type=pa.int64()),
-                     id_col: pa.array(b_doc)})
+        bh = (sigs.reshape(n, bands, rows_per_band) * pw).sum(
+            axis=2, dtype=np.uint64)
+    ids_rep = t.column(id_col).combine_chunks().take(
+        np.repeat(np.arange(n, dtype=np.int64), bands))
+    return pa.table({"band_id": pa.array(
+                         np.tile(np.arange(bands, dtype=np.int32), n)),
+                     "band_hash": pa.array(bh.ravel().view(np.int64)),
+                     id_col: ids_rep})
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -224,14 +302,47 @@ def fetch_values_for_ids(ds, ids, id_col: str = "doc_id",
     return dict(zip(sub[id_col], sub[col]))
 
 
+def fetch_shingles_for_ids(ds, ids, id_col: str = "doc_id",
+                           col: str = "text", k: int = 5) -> dict:
+    """Sparse lookup of each candidate doc's UNIQUE sorted shingle-hash set,
+    computed in workers during the filtered fetch pass. Each doc is shingled
+    exactly ONCE total — hot LSH buckets produce O(m²) pairs, and round 1
+    re-shingled both texts for every pair (the 60s phase in
+    minhash_neardup at sf0.1). Driver result bounded by ``len(ids)``."""
+    import ray
+
+    ids = sorted(set(ids))
+    if not ids:
+        return {}
+    wref = ray.put(pa.array(ids))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        m = pc.is_in(t.column(id_col), value_set=w.cast(t.column(id_col).type))
+        t = t.filter(pc.fill_null(m, False))
+        texts = pc.utf8_lower(pc.fill_null(t.column(col), ""))
+        sh, ptr = _window_hashes(texts, k)
+        lists = [np.unique(sh[ptr[i]:ptr[i + 1]])
+                 for i in range(t.num_rows)]
+        return pa.table({id_col: t.column(id_col),
+                         "sh": pa.array(lists, type=pa.list_(pa.uint64()))})
+
+    sub = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return {i: np.asarray(v, dtype=np.uint64)
+            for i, v in zip(sub[id_col], sub["sh"])}
+
+
 def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
                                   id_col: str = "doc_id", col: str = "text",
                                   threshold: float = 0.8, k: int = 5,
                                   ) -> pd.DataFrame:
     """Distributed near-dup verification: candidate pairs (aggregate-sized)
     are re-dispatched as a Dataset; each worker batch fetches the sparse
-    candidate-text map from the object store (broadcast once) and computes
-    exact n-gram Jaccard. No full-corpus driver materialization anywhere.
+    candidate-SHINGLE map from the object store (broadcast once; each doc
+    shingled once total via :func:`fetch_shingles_for_ids`) and computes
+    exact set Jaccard by sorted-array intersection — same value as
+    ``ngram_jaccard`` without re-hashing text per pair. No full-corpus
+    driver materialization anywhere.
     → (id_a, id_b, jaccard) sorted, jaccard ≥ threshold."""
     import ray
     import ray.data as rd
@@ -241,8 +352,9 @@ def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     if not pairs:
         return empty
-    texts = fetch_values_for_ids(ds, {x for p in pairs for x in p}, id_col, col)
-    tref = ray.put(texts)
+    shingles = fetch_shingles_for_ids(
+        ds, {x for p in pairs for x in p}, id_col, col, k)
+    tref = ray.put(shingles)
 
     def verify(t: pa.Table) -> pa.Table:
         lookup = ray.get(tref)
@@ -250,7 +362,13 @@ def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
         b_l = t.column("id_b").to_pylist()
         out_a, out_b, out_j = [], [], []
         for a, b in zip(a_l, b_l):
-            j = ngram_jaccard(str(lookup[a]), str(lookup[b]), k)
+            sa, sb = lookup[a], lookup[b]
+            union = len(sa) + len(sb)
+            if union == 0:
+                j = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (union - inter)
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
