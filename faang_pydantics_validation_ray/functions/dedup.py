@@ -388,18 +388,46 @@ def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
 
 def simhash_batch(t: pa.Table, col: str = "text",
                   out: str = "simhash") -> pa.Table:
-    """64-bit SimHash over word tokens (unit weights), vectorized per row."""
-    texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pylist()
-    out_vals = np.zeros(len(texts), dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, txt in enumerate(texts):
-        words = txt.split()
-        if not words:
-            continue
-        hs = hash_column(np.array(words, dtype=object))
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        v = np.where(bits.sum(axis=0) * 2 >= len(hs), np.uint64(1), np.uint64(0))
-        out_vals[i] = np.int64((v << bit_idx).sum(dtype=np.uint64).astype(np.int64))
+    """64-bit SimHash over word tokens (unit weights), fully vectorized:
+    ONE Arrow whitespace split for the batch, ONE flat SipHash pass over
+    every token, bit-majority per doc via ``unpackbits`` + ``reduceat``
+    (no per-row Python — same rule as the minhash shingle path)."""
+    n = t.num_rows
+    out_vals = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return t.append_column(out, pa.array(out_vals, type=pa.int64()))
+    texts = pc.utf8_lower(pc.fill_null(t.column(col), ""))
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.utf8_split_whitespace(texts)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(words)
+    # Arrow keeps empty edge tokens ("a " → ["a", ""]); Python split() drops
+    # them — filter for parity with the previous per-row implementation.
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)[nonempty]
+    cnt = np.bincount(doc_idx, minlength=n)
+    nz = cnt > 0
+    if not nz.any():
+        return t.append_column(out, pa.array(out_vals, type=pa.int64()))
+    # hash only the DISTINCT tokens (dictionary-encode; Zipf makes the
+    # dictionary far smaller than the token stream), then gather per token
+    enc = flat.filter(pa.array(nonempty)).dictionary_encode()
+    hs = hash_column(enc.dictionary)[
+        enc.indices.to_numpy(zero_copy_only=False)]
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    # segment-sum along the TOKEN axis with bits laid out (64, tokens)
+    # contiguous — reduceat over the row-major (tokens, 64) layout strides
+    # per column and is ~3x slower
+    bits_t = bits.T.astype(np.int32)  # one copy, C-contiguous result
+    starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                             np.cumsum(cnt)])[:-1][nz]
+    bitcounts = np.add.reduceat(bits_t, starts, axis=1).T
+    v = (bitcounts * 2 >= cnt[nz, None]).astype(np.uint64)
+    pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out_vals[nz] = (v * pw).sum(axis=1, dtype=np.uint64).view(np.int64)
     return t.append_column(out, pa.array(out_vals, type=pa.int64()))
 
 
