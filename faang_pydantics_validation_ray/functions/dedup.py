@@ -609,6 +609,62 @@ def embedding_near_dups_lsh(ds, id_col: str = "vec_id",
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def semdedup(ds, centroids: np.ndarray, id_col: str = "vec_id",
+             emb_col: str = "embedding", eps: float = 0.4) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup as
+    k-means cluster assignment + within-cluster cosine pruning →
+    (id, cluster_id, keep) with deterministic lowest-id survivors.
+
+    Ray-Data shape: centroids broadcast once (``ray.put``); assignment is a
+    per-batch matmul; ONE ``groupby(cluster_id)`` shuffle co-locates each
+    cluster's members (the embedding payload crosses the exchange exactly
+    once — the cost of a repartition-by-key, inherent to within-cluster
+    pairwise work); each cluster prunes with one vectorized matmul. A row is
+    pruned iff ANY lower-id member of its cluster is within ``eps`` — the
+    SQL-EXISTS semantics, so the DuckDB oracle reproduces it exactly. At
+    10^12 rows cap cluster size by sharding hot clusters on a salt of the id
+    (missing only cross-shard dups), as the paper does per-GPU."""
+    import ray
+
+    from .ann import _batch_matrix, _normalize
+
+    cents = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = _normalize(_batch_matrix(t.column(emb_col)))
+        if e.shape[0] == 0:
+            return pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "emb": pa.array([], type=pa.list_(pa.float64()))})
+        sims = e @ c.T
+        # lowest centroid id wins exact ties (oracle row_number order)
+        lab = sims.argmax(axis=1)
+        emb_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(e.ravel(), type=pa.float64()), e.shape[1]) \
+            .cast(pa.list_(pa.float64()))
+        return pa.table({"cluster_id": pa.array(lab, type=pa.int64()),
+                         id_col: t.column(id_col),
+                         "emb": emb_arr})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        m = np.stack(g["emb"].to_numpy())
+        s = m @ m.T
+        dup = np.triu(s >= eps, k=1).any(axis=0)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "cluster_id": g["cluster_id"].to_numpy(),
+                             "keep": (~dup).astype(np.int64)})
+
+    out = (ds.select_columns([id_col, emb_col])
+           .map_batches(assign, batch_format="pyarrow")
+           .groupby("cluster_id")
+           .map_groups(prune, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 # --------------------------------------------------------- cluster resolution
 
 

@@ -133,3 +133,120 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
                                                                dtype=np.uint64)
         out[i] = np.int64(grams.min().astype(np.int64))
     return t.append_column("fingerprint", pa.array(out, type=pa.int64()))
+
+
+# ------------------------------------------------------- decontamination
+
+_FNV = np.uint64(1099511628211)
+
+
+def _word_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 hashes of all non-empty lowered whitespace tokens in batch
+    order, per-doc token counts int64[n]) — ONE Arrow split for the batch,
+    dictionary-encoded SipHash so only DISTINCT tokens are hashed, no
+    per-row Python (same discipline as dedup.simhash_batch)."""
+    arr = pc.utf8_lower(pc.fill_null(texts, ""))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    words = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)[nonempty]
+    cnt = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if len(doc_idx) == 0:
+        return np.empty(0, dtype=np.uint64), cnt
+    enc = flat.filter(pa.array(nonempty)).dictionary_encode()
+    hs = hash_column(enc.dictionary)[
+        enc.indices.to_numpy(zero_copy_only=False)]
+    return hs.astype(np.uint64), cnt
+
+
+def word_ngram_hashes(texts, n: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_hash uint64, doc_index int64) for every word n-gram of every
+    doc in the batch (docs with < n tokens emit none): position-weighted
+    polynomial combine of token hashes; windows never cross doc
+    boundaries. Fully vectorized (n strided adds for the whole batch)."""
+    hs, cnt = _word_token_hashes(texts)
+    v = np.maximum(cnt - n + 1, 0)
+    total = int(v.sum())
+    gdoc = np.repeat(np.arange(len(cnt), dtype=np.int64), v)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), gdoc
+    bounds = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnt)])
+    wc = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+    start = (np.arange(total, dtype=np.int64) - np.repeat(wc[:-1], v)
+             + np.repeat(bounds[:-1], v))
+    gh = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw = _FNV ** np.arange(n, dtype=np.uint64)
+        for j in range(n):
+            gh += hs[start + j] * pw[j]
+    return gh, gdoc
+
+
+def benchmark_ngram_hashes(ds, col: str = "text", n: int = 4) -> np.ndarray:
+    """Distinct word-n-gram hashes of the benchmark dataset, sorted uint64:
+    distinct-per-batch in workers, union on the driver. Driver memory is
+    bounded by the BENCHMARK's distinct-gram count — an eval set is MBs
+    against a 100 TB train corpus; this is the canonical broadcast small
+    side, never the corpus."""
+    def part(t: pa.Table) -> pa.Table:
+        gh, _ = word_ngram_hashes(t.column(col), n)
+        return pa.table({"g": pa.array(np.unique(gh).view(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(parts["g"].to_numpy().view(np.uint64))
+
+
+def decontaminate(ds, bench_hashes: np.ndarray, col: str = "text",
+                  id_col: str = "doc_id", n: int = 4):
+    """GPT-3-style train/test decontamination (Brown et al. 2020 appendix C;
+    also Dodge et al. 2021): flag every training doc sharing at least one
+    word n-gram with the benchmark set → DataFrame(doc_id, n_overlap) with
+    n_overlap = DISTINCT overlapping grams, contaminated docs only.
+
+    Shape: the sorted benchmark gram-hash array is broadcast once
+    (``ray.put``); ONE streaming pass computes each batch's gram hashes and
+    membership via searchsorted — only the sparse contaminated rows leave
+    the workers, nothing shuffles."""
+    import ray
+
+    bench = np.sort(np.asarray(bench_hashes, dtype=np.uint64))
+    bref = ray.put(bench)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        empty = pa.table({id_col: pa.array([], type=t.schema.field(id_col).type),
+                          "n_overlap": pa.array([], type=pa.int64())})
+        if len(b) == 0:
+            return empty
+        gh, gdoc = word_ngram_hashes(t.column(col), n)
+        if len(gh) == 0:
+            return empty
+        pos = np.searchsorted(b, gh)
+        hit = np.zeros(len(gh), dtype=bool)
+        inb = pos < len(b)
+        hit[inb] = b[pos[inb]] == gh[inb]
+        gd, gg = gdoc[hit], gh[hit]
+        if len(gd) == 0:
+            return empty
+        order = np.lexsort((gg, gd))
+        gd, gg = gd[order], gg[order]
+        first = np.ones(len(gd), dtype=bool)
+        first[1:] = (gd[1:] != gd[:-1]) | (gg[1:] != gg[:-1])
+        counts = np.bincount(gd[first], minlength=t.num_rows)
+        rows = np.flatnonzero(counts)
+        return pa.table({id_col: t.column(id_col).take(pa.array(rows)),
+                         "n_overlap": pa.array(counts[rows], type=pa.int64())})
+
+    import pandas as pd
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                             "n_overlap": pd.array([], dtype="int64")})
+    return out.sort_values(id_col).reset_index(drop=True)

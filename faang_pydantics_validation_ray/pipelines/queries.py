@@ -787,6 +787,50 @@ def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontam_documents(sf_dir: str) -> pd.DataFrame:
+    """GPT-3-style benchmark decontamination over documents: docs with
+    doc_id % 97 == 0 act as the held-out benchmark; every other doc sharing
+    a word 4-gram with the benchmark is flagged with its DISTINCT-overlap
+    count. One broadcast of the benchmark gram set + one streaming pass —
+    see functions/text.py::decontaminate."""
+    def keep_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def keep_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 != 0))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = text.benchmark_ngram_hashes(
+        docs.map_batches(keep_bench, batch_format="pyarrow"), n=4)
+    return text.decontaminate(
+        docs.map_batches(keep_train, batch_format="pyarrow"), bench, n=4)
+
+
+SQL_DECONTAM_DOCUMENTS = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+  FROM tok, UNNEST(range(1, len(w)-2)) AS t(i)
+  WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM tok, UNNEST(range(1, len(w)-2)) AS t(i)
+  WHERE doc_id % 97 <> 0
+)
+SELECT train.doc_id, CAST(COUNT(DISTINCT train.g) AS BIGINT) AS n_overlap
+FROM train JOIN bench ON train.g = bench.g
+GROUP BY train.doc_id ORDER BY train.doc_id
+"""
+
+
 def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, fully distributed: candidate texts are
     fetched via a broadcast-id filtered pass (bounded by candidate count) and
@@ -1565,6 +1609,40 @@ ORDER BY id_a, id_b
 """
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: assign every
+    vector to its cosine-argmax centroid (the deterministic vec_id<8 rows),
+    then within each cluster prune any vector with a lower-id member at
+    cosine ≥ 0.4 → (vec_id, cluster_id, keep). One broadcast + one
+    groupby(cluster_id) shuffle; see functions/dedup.py::semdedup."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ct = t.filter(pc.less(t.column("vec_id"), 8)).sort_by("vec_id")
+    cents = np.stack([np.asarray(x, dtype=np.float64)
+                      for x in ct.column("embedding").to_pylist()])
+    return dedup.semdedup(_read(sf_dir, "embeddings"), cents, eps=0.4)
+
+
+SQL_SEMDEDUP_EMBEDDINGS = """
+WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+           WHERE vec_id < 8),
+s AS (SELECT e.vec_id, e.embedding, c.cluster_id,
+             list_cosine_similarity(e.embedding, c.embedding) AS sim
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, embedding, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cluster_id) AS rn
+      FROM s),
+m AS (SELECT vec_id, cluster_id, embedding FROM a WHERE rn = 1)
+SELECT m.vec_id, m.cluster_id,
+       CAST(NOT EXISTS (
+           SELECT 1 FROM m m2
+           WHERE m2.cluster_id = m.cluster_id AND m2.vec_id < m.vec_id
+             AND list_cosine_similarity(m.embedding, m2.embedding) >= 0.4
+       ) AS BIGINT) AS keep
+FROM m ORDER BY vec_id
+"""
+
+
 def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate variant of embedding_neardup at the SAME threshold (0.4)
     so the outputs are comparable: every pair here is a true pair from the
@@ -2017,6 +2095,7 @@ QUERIES = {
     "pivot_orders": q_pivot_orders,
     "stringagg_nation": q_stringagg_nation,
     "fingerprint_documents": q_fingerprint_documents,
+    "decontam_documents": q_decontam_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
     "corpus_clean_documents": q_corpus_clean_documents,
@@ -2041,6 +2120,7 @@ QUERIES = {
     "cluster_embeddings": q_cluster_embeddings,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "neardup_clusters_documents": q_neardup_clusters_documents,
     # flagship image validation — oracle-verified over the generated parquet
     "img_scalar_counts": q_img_scalar_counts,
@@ -2079,6 +2159,7 @@ ORACLES = {
     "docfreq_documents": SQL_DOCFREQ_DOCUMENTS,
     "tfidf_documents": SQL_TFIDF_DOCUMENTS,
     "split_documents": SQL_SPLIT_DOCUMENTS,
+    "decontam_documents": SQL_DECONTAM_DOCUMENTS,
     "hist_lineitem": SQL_HIST_LINEITEM,
     "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
     "corr_lineitem": SQL_CORR_LINEITEM,
@@ -2102,5 +2183,6 @@ ORACLES = {
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     **_img_oracle_sqls(),
 }

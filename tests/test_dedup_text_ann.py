@@ -55,6 +55,48 @@ def test_fingerprint_deterministic_and_sensitive():
     assert fp[0] == fp[1] and fp[0] != fp[2]
 
 
+def test_word_ngram_hashes_reference():
+    """Vectorized gram hashing matches a naive per-doc reference (same token
+    hash, same polynomial), incl. short/empty/null/multi-space docs."""
+    from faang_pydantics_validation_ray.functions.hashing import hash_column
+    docs = ["the quick brown fox jumps", "a b c d", "a b c", "", None,
+            "  padded   doc  with gaps here  "]
+    gh, gdoc = text.word_ngram_hashes(pa.array(docs, type=pa.string()), n=4)
+    exp_h, exp_d = [], []
+    for i, d in enumerate(docs):
+        words = (d or "").lower().split()
+        for s in range(max(len(words) - 3, 0)):
+            hs = hash_column(np.array(words[s:s+4], dtype=object))
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                pw = np.uint64(1099511628211) ** np.arange(4, dtype=np.uint64)
+                acc = (hs * pw).sum(dtype=np.uint64)
+            exp_h.append(acc)
+            exp_d.append(i)
+    assert np.array_equal(gdoc, np.array(exp_d, dtype=np.int64))
+    assert np.array_equal(gh, np.array(exp_h, dtype=np.uint64))
+
+
+def test_decontaminate(ray_session):
+    """Seeded 4-gram overlap is flagged with its DISTINCT count; clean docs
+    and short docs emit nothing; empty benchmark → empty result."""
+    bench_ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0], "text": ["alpha beta gamma delta epsilon"]}))
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x alpha beta gamma delta y alpha beta gamma delta",  # same gram twice → 1 distinct
+                 "totally clean document with no shared phrases at all",
+                 "beta gamma delta epsilon tail",                      # 1 gram
+                 "alpha beta gamma"]})                                 # too short to 4-gram
+    bench = text.benchmark_ngram_hashes(bench_ds, n=4)
+    out = text.decontaminate(rd.from_pandas(train).repartition(2), bench, n=4)
+    got = dict(zip(out.doc_id, out.n_overlap))
+    assert got == {1: 1, 3: 1}
+    empty = text.decontaminate(rd.from_pandas(train),
+                               np.empty(0, dtype=np.uint64), n=4)
+    assert len(empty) == 0
+
+
 # ----------------------------------------------------------------- dedup
 
 
@@ -127,6 +169,32 @@ def test_embedding_lsh_subset_and_recall(ray_session):
     ap = {(int(a), int(b)) for a, b in zip(approx.id_a, approx.id_b)}
     assert ap and ap <= ex
     assert len(ap) / len(ex) >= 0.5
+
+
+def test_semdedup(ray_session):
+    """SemDeDup: seeded near-identical vectors in the same cluster prune to
+    the lowest id; distinct-direction vectors all survive."""
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(2, 16))
+    rows = []
+    # cluster 0: ids 10,11 near-identical (cos≈1) + id 12 orthogonal-ish
+    rows.append((10, base[0]))
+    rows.append((11, base[0] + rng.normal(scale=1e-3, size=16)))
+    ortho = rng.normal(size=16)
+    ortho -= ortho @ base[0] / (base[0] @ base[0]) * base[0]
+    rows.append((12, base[0] * 0.3 + ortho))
+    # cluster 1: singletons
+    rows.append((20, base[1]))
+    rows.append((21, -base[0]))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [list(map(float, r[1])) for r in rows]})
+    out = dedup.semdedup(rd.from_pandas(df).repartition(3),
+                         centroids=np.stack([base[0], base[1]]), eps=0.95)
+    keep = dict(zip(out.vec_id, out.keep))
+    assert keep[10] == 1 and keep[11] == 0   # lowest id survives
+    assert keep[12] == 1 and keep[20] == 1 and keep[21] == 1
+    assert list(out.vec_id) == sorted(out.vec_id)
 
 
 def test_ngram_jaccard_bounds():
