@@ -110,28 +110,34 @@ def fingerprint_batch(t: pa.Table, col: str = "text",
     """Append ``fingerprint``: winnowed min of 64-bit rolling k-gram hashes of
     the lowercased text (document fingerprinting / near-dup pre-key). Tokens
     are hashed with the deterministic siphash, combined by position-weighted
-    polynomial mixing."""
-    texts = pc.utf8_lower(pc.fill_null(t.column(col), "")).to_pandas()
-    out = np.zeros(len(texts), dtype=np.int64)
+    polynomial mixing. Fully vectorized over the batch (one Arrow split, one
+    token-hash pass, per-doc min via ``reduceat``); docs shorter than the
+    window fold their tokens with the same Horner polynomial the previous
+    per-row implementation used."""
     P = np.uint64(1099511628211)
-    for i, txt in enumerate(texts):
-        words = txt.split()
-        if not words:
-            continue
-        hs = hash_column(np.array(words, dtype=object))
-        if len(hs) < window:
-            acc = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for hh in hs:
-                    acc = acc * P + hh
-            out[i] = np.int64(acc.astype(np.int64))
-            continue
-        with np.errstate(over="ignore"):
-            pw = P ** np.arange(window, dtype=np.uint64)
-            from numpy.lib.stride_tricks import sliding_window_view
-            grams = (sliding_window_view(hs, window) * pw).sum(axis=1,
-                                                               dtype=np.uint64)
-        out[i] = np.int64(grams.min().astype(np.int64))
+    out = np.zeros(t.num_rows, dtype=np.int64)
+    hs, cnt = _word_token_hashes(t.column(col))
+    bounds = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnt)])
+    long = cnt >= window
+    with np.errstate(over="ignore"):
+        if long.any():
+            gh, gdoc = _gram_hashes(hs, cnt, window)
+            # per-doc min over each doc's contiguous gram segment
+            v = np.maximum(cnt - window + 1, 0)
+            starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                                     np.cumsum(v)])[:-1][long]
+            out[long] = np.minimum.reduceat(gh, starts).view(np.int64)
+        short = (~long) & (cnt > 0)
+        if short.any():
+            # Horner fold acc = acc*P + h ≡ Σ h[i]·P^(len-1-i), vectorized
+            # with per-token exponents and a segment sum
+            tok_doc = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+            expo = (np.repeat(bounds[1:], cnt) - 1
+                    - np.arange(len(hs), dtype=np.int64))
+            m = short[tok_doc]
+            acc = np.zeros(len(cnt), dtype=np.uint64)
+            np.add.at(acc, tok_doc[m], hs[m] * P ** expo[m].astype(np.uint64))
+            out[short] = acc[short].view(np.int64)
     return t.append_column("fingerprint", pa.array(out, type=pa.int64()))
 
 
@@ -164,12 +170,11 @@ def _word_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return hs.astype(np.uint64), cnt
 
 
-def word_ngram_hashes(texts, n: int = 4) -> tuple[np.ndarray, np.ndarray]:
-    """(gram_hash uint64, doc_index int64) for every word n-gram of every
-    doc in the batch (docs with < n tokens emit none): position-weighted
-    polynomial combine of token hashes; windows never cross doc
-    boundaries. Fully vectorized (n strided adds for the whole batch)."""
-    hs, cnt = _word_token_hashes(texts)
+def _gram_hashes(hs: np.ndarray, cnt: np.ndarray,
+                 n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All length-``n`` window polynomial hashes over per-doc token-hash
+    segments (docs with < n tokens emit none) → (gram_hash uint64,
+    doc_index int64), windows never crossing doc boundaries."""
     v = np.maximum(cnt - n + 1, 0)
     total = int(v.sum())
     gdoc = np.repeat(np.arange(len(cnt), dtype=np.int64), v)
@@ -185,6 +190,14 @@ def word_ngram_hashes(texts, n: int = 4) -> tuple[np.ndarray, np.ndarray]:
         for j in range(n):
             gh += hs[start + j] * pw[j]
     return gh, gdoc
+
+
+def word_ngram_hashes(texts, n: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_hash uint64, doc_index int64) for every word n-gram of every
+    doc in the batch: one Arrow split + one token-hash pass + ``n`` strided
+    adds for the whole batch — no per-row Python."""
+    hs, cnt = _word_token_hashes(texts)
+    return _gram_hashes(hs, cnt, n)
 
 
 def benchmark_ngram_hashes(ds, col: str = "text", n: int = 4) -> np.ndarray:
