@@ -263,3 +263,51 @@ def decontaminate(ds, bench_hashes: np.ndarray, col: str = "text",
         return pd.DataFrame({id_col: pd.array([], dtype="int64"),
                              "n_overlap": pd.array([], dtype="int64")})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def repetition_stats_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Append Gopher-style repetition signals (Rae et al. 2021 "Scaling
+    Language Models", table A1 repetition filters):
+
+    - ``top_bigram_frac``: fraction of tokens covered by the single most
+      frequent bigram (2·max_count/n_tokens; 0.0 under 2 tokens)
+    - ``dup_3gram_frac``: 1 − distinct/total trigrams (0.0 under 3 tokens)
+
+    Vectorized for the whole batch: one token-hash pass, gram hashes via
+    the shared polynomial kernel, per-doc run-length stats via one lexsort."""
+    n = t.num_rows
+    hs, cnt = _word_token_hashes(t.column(col))
+    top_big = np.zeros(n, dtype=np.float64)
+    dup3 = np.zeros(n, dtype=np.float64)
+
+    def _runs(gh: np.ndarray, gdoc: np.ndarray):
+        """(run_doc, run_len) for equal (doc, gram) runs after sorting."""
+        order = np.lexsort((gh, gdoc))
+        gd, gg = gdoc[order], gh[order]
+        first = np.ones(len(gd), dtype=bool)
+        first[1:] = (gd[1:] != gd[:-1]) | (gg[1:] != gg[:-1])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.concatenate([starts, [len(gd)]]))
+        return gd[starts], lens
+
+    gh2, gdoc2 = _gram_hashes(hs, cnt, 2)
+    if len(gh2):
+        rd_, rl = _runs(gh2, gdoc2)
+        maxc = np.zeros(n, dtype=np.int64)
+        np.maximum.at(maxc, rd_, rl)
+        m = cnt >= 2
+        top_big[m] = 2.0 * maxc[m] / cnt[m]
+    gh3, gdoc3 = _gram_hashes(hs, cnt, 3)
+    if len(gh3):
+        rd_, _ = _runs(gh3, gdoc3)
+        distinct = np.bincount(rd_, minlength=n)
+        total = np.maximum(cnt - 2, 0)
+        m = total > 0
+        dup3[m] = 1.0 - distinct[m] / total[m]
+    # round half AWAY from zero (SQL ROUND semantics; np.round banker's
+    # rounding differs on exact .00005 boundaries like 1/32)
+    def _round4(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 10000.0 + 0.5) / 10000.0
+
+    return (t.append_column("top_bigram_frac", pa.array(_round4(top_big)))
+             .append_column("dup_3gram_frac", pa.array(_round4(dup3))))

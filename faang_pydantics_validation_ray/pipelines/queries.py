@@ -787,6 +787,49 @@ def q_fingerprint_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per doc (Rae et al. 2021
+    repetition filters): top-bigram token coverage and duplicate-trigram
+    ratio — one streaming vectorized pass, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: text.repetition_stats_batch(t).select(
+            ["doc_id", "top_bigram_frac", "dup_3gram_frac"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_DOCUMENTS = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bigc AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, COUNT(*) AS c
+    FROM tok, UNNEST(range(1, len(w))) AS t(i)
+    WHERE len(w) >= 2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, COUNT(*) AS total3, COUNT(DISTINCT g) AS dist3 FROM (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM tok, UNNEST(range(1, len(w)-1)) AS t(i)
+    WHERE len(w) >= 3)
+  GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       ROUND(COALESCE(2.0 * bigc.maxc / len(tok.w), 0.0), 4)
+           AS top_bigram_frac,
+       ROUND(COALESCE(1.0 - CAST(tri.dist3 AS DOUBLE) / tri.total3, 0.0), 4)
+           AS dup_3gram_frac
+FROM tok LEFT JOIN bigc USING (doc_id) LEFT JOIN tri USING (doc_id)
+ORDER BY tok.doc_id
+"""
+
+
 def q_decontam_documents(sf_dir: str) -> pd.DataFrame:
     """GPT-3-style benchmark decontamination over documents: docs with
     doc_id % 97 == 0 act as the held-out benchmark; every other doc sharing
@@ -2096,6 +2139,7 @@ QUERIES = {
     "stringagg_nation": q_stringagg_nation,
     "fingerprint_documents": q_fingerprint_documents,
     "decontam_documents": q_decontam_documents,
+    "repetition_documents": q_repetition_documents,
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
     "corpus_clean_documents": q_corpus_clean_documents,
@@ -2160,6 +2204,7 @@ ORACLES = {
     "tfidf_documents": SQL_TFIDF_DOCUMENTS,
     "split_documents": SQL_SPLIT_DOCUMENTS,
     "decontam_documents": SQL_DECONTAM_DOCUMENTS,
+    "repetition_documents": SQL_REPETITION_DOCUMENTS,
     "hist_lineitem": SQL_HIST_LINEITEM,
     "quantiles_lineitem": SQL_QUANTILES_LINEITEM,
     "corr_lineitem": SQL_CORR_LINEITEM,

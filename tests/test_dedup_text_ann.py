@@ -97,6 +97,22 @@ def test_decontaminate(ray_session):
     assert len(empty) == 0
 
 
+def test_repetition_stats():
+    """Hand-computed Gopher repetition signals: 'a b a b a b' → top bigram
+    (a b)×3 covers 6/6 tokens; trigrams 4 total / 2 distinct → dup 0.5."""
+    t = pa.table({"text": ["a b a b a b",
+                           "all words here are entirely distinct tokens",
+                           "x y",            # <3 tokens: dup3=0, top=1.0 (x y)
+                           "", None]})
+    out = text.repetition_stats_batch(t)
+    tb = out.column("top_bigram_frac").to_pylist()
+    d3 = out.column("dup_3gram_frac").to_pylist()
+    assert tb[0] == 1.0 and d3[0] == 0.5
+    assert tb[1] == pytest.approx(2/7, abs=1e-4) and d3[1] == 0.0
+    assert tb[2] == 1.0 and d3[2] == 0.0
+    assert tb[3] == 0.0 and d3[3] == 0.0 and tb[4] == 0.0
+
+
 # ----------------------------------------------------------------- dedup
 
 
