@@ -1368,9 +1368,11 @@ GROUP BY o.o_orderkey ORDER BY o.o_orderkey
 
 def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """§2.7 sliding windows (2h width, 1h step): each event lands in two
-    windows via a vectorized per-batch expansion, then ONE groupby — no
-    per-window passes."""
-    from ray.data.aggregate import Count, Sum
+    windows via a vectorized per-batch expansion, COMBINED per batch to one
+    (window, type) partial row before the exchange — the shuffle carries
+    ~#windows×#types rows per batch instead of 2× the event stream — then
+    ONE groupby-sum."""
+    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
@@ -1380,11 +1382,14 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
                           "event_type": df["event_type"],
                           "value": df["value"]})
             for k in (0, 1)], ignore_index=True)
-        return out
+        return out.groupby(["window_start", "event_type"],
+                           as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
 
     out = (ds.map_batches(expand, batch_format="pandas")
            .groupby(["window_start", "event_type"])
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_value", alias_name="sum_value"))
            .to_pandas())
     out["sum_value"] = out["sum_value"].round(4)
     out["n"] = out["n"].astype("int64")
