@@ -268,3 +268,52 @@ def cumulative_by_key_groups(ds, key: str, order: list[str], value: str,
         return g
 
     return ds.groupby(key).map_groups(f, batch_format="pandas")
+
+
+def percent_rank_cume_dist(ds, key: str, value: str,
+                           out_prnk: str = "prnk", out_cume: str = "cume"):
+    """SQL ``percent_rank()`` and ``cume_dist() OVER (PARTITION BY key ORDER
+    BY value)`` in ONE ranked pass:
+
+    - ``percent_rank = (rank - 1) / (N - 1)`` (0 when N == 1)
+    - ``cume_dist = (rank - 1 + ties(key, value)) / N`` — rows <= v are the
+      rows below the tie run plus the run itself.
+
+    One :func:`rank_by_key` range shuffle, plus two aggregate-only
+    ``groupby`` passes whose results broadcast via ``ray.put``: per-key N
+    (one row per key) and per-(key, value) tie counts (one row per distinct
+    pair). Partitioning assumption: the distinct (key, value) pair set is
+    broadcastable; for pair cardinalities near the row count use a hash
+    join on (key, value) instead — same formula, one extra shuffle.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    n_per_key = (ds.groupby(key).aggregate(Count(alias_name="n"))
+                 .to_pandas())
+    ties = (ds.groupby([key, value]).aggregate(Count(alias_name="t"))
+            .to_pandas())
+    dims_ref = ray.put((n_per_key, ties))
+
+    ranked = rank_by_key(ds, key, value, out_rank="_rnk", out_dense="_drnk")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_df, tie_df = ray.get(dims_ref)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        # vectorized broadcast lookups: left merges preserve row order
+        b = pd.DataFrame({key: k, value: v})
+        m = (b.merge(tie_df, on=[key, value], how="left")
+             .merge(n_df, on=key, how="left"))
+        n = m["n"].to_numpy(dtype=np.float64)
+        tie = m["t"].to_numpy(dtype=np.float64)
+        r = t.column("_rnk").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        prnk = np.where(n > 1, (r - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        cume = (r - 1.0 + tie) / n
+        keep = [c for c in t.column_names if c not in ("_rnk", "_drnk")]
+        return (t.select(keep)
+                .append_column(out_prnk, pa.array(prnk, type=pa.float64()))
+                .append_column(out_cume, pa.array(cume, type=pa.float64())))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

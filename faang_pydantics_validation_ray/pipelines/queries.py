@@ -2108,6 +2108,328 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dup) AS dup_ids,
             "img_rule_counts_truth": truth, "img_summary": summary}
 
 
+# ------------------------------------------------- corpus cleaning / prep
+
+
+def q_pii_redact_documents(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails/phones/IPv4 → typed placeholders): the
+    synthetic corpus carries no PII, so a deterministic dirty variant is
+    derived from doc_id IDENTICALLY on both sides — the RE2 redaction
+    kernels (functions/clean.py) are then exercised on every row and the
+    oracle checks the redacted text character-for-character."""
+    from ..functions import clean
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = pc.cast(t.column("doc_id"), pa.string())
+        i4 = pc.utf8_lpad(pa.array((ids % 10000).astype("U"),
+                                   type=pa.string()), 4, "0")
+        o1 = pa.array((ids % 256).astype("U"), type=pa.string())
+        o2 = pa.array((ids * 7 % 256).astype("U"), type=pa.string())
+        dirty = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), " reach user", i,
+            "@example.com or +1-202-555-", i4, " ip 10.0.", o1, ".", o2, "")
+        d = pa.table({"doc_id": t.column("doc_id"), "text": dirty})
+        r = clean.redact_pii_batch(d)
+        return r.select(["doc_id", "clean_text", "n_email", "n_phone",
+                         "n_ip"])
+
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_PII_REDACT_DOCUMENTS = r"""
+WITH s0 AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' reach user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1-202-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) AS s
+  FROM documents),
+e AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(s,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_email,
+        regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS s
+      FROM s0),
+p AS (SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(s,
+          '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}'))
+          AS BIGINT) AS n_phone,
+        regexp_replace(s,
+          '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+          '<PHONE>', 'g') AS s
+      FROM e),
+i AS (SELECT doc_id, n_email, n_phone,
+        CAST(len(regexp_extract_all(s,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          AS BIGINT) AS n_ip,
+        regexp_replace(s,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+          '<IP>', 'g') AS s
+      FROM p)
+SELECT doc_id, s AS clean_text, n_email, n_phone, n_ip
+FROM i ORDER BY doc_id
+"""
+
+
+def q_lineclean_documents(sf_dir: str) -> pd.DataFrame:
+    """C4-style line filtering (drop lines with < 3 words). The corpus is
+    single-line, so a multi-line variant is derived by newline-substituting
+    a common word on BOTH sides; the vectorized split/filter/re-join kernel
+    (functions/clean.py) is what the oracle verifies."""
+    from ..functions import clean
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        dirty = pc.replace_substring(pc.fill_null(t.column("text"), ""),
+                                     " table ", "\n")
+        d = pa.table({"doc_id": t.column("doc_id"), "text": dirty})
+        return clean.clean_lines_batch(d, min_words=3).select(
+            ["doc_id", "clean_text", "n_lines", "kept_lines"])
+
+    return (ds.map_batches(f, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_LINECLEAN_DOCUMENTS = r"""
+WITH s0 AS (
+  SELECT doc_id,
+         replace(COALESCE(text, ''), ' table ', chr(10)) AS s
+  FROM documents)
+SELECT doc_id,
+  COALESCE(array_to_string(list_filter(string_split(s, chr(10)),
+    x -> len(regexp_extract_all(x, '\S+')) >= 3), chr(10)), '') AS clean_text,
+  CAST(len(string_split(s, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(string_split(s, chr(10)),
+    x -> len(regexp_extract_all(x, '\S+')) >= 3)) AS BIGINT) AS kept_lines
+FROM s0 ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Token-window chunking: 40-token chunks advancing by 30 (overlap 10)
+    — the context-window prep op. Pure per-batch map (functions/clean.py);
+    the oracle re-derives every chunk with list_slice/generate_series."""
+    from ..functions import clean
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: clean.chunk_batch(t, size=40, step=30),
+        batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks,
+         len(regexp_extract_all(trim(COALESCE(text, '')), '\S+')) AS ws
+  FROM documents),
+n AS (SELECT doc_id, toks, ws,
+        CASE WHEN ws = 0 THEN 0 WHEN ws <= 40 THEN 1
+             ELSE CAST(ceil((ws - 40) / 30.0) AS BIGINT) + 1 END AS n_chunks
+      FROM tok),
+ch AS (SELECT doc_id, toks, ws,
+         CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_id
+       FROM n WHERE n_chunks > 0)
+SELECT doc_id, chunk_id,
+  array_to_string(list_slice(toks, chunk_id*30 + 1,
+                             LEAST(chunk_id*30 + 40, ws)), ' ') AS chunk_text,
+  LEAST(chunk_id*30 + 40, ws) - chunk_id*30 AS chunk_tokens
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+def q_stratified_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: per-source keep rates applied via
+    a content-independent md5 fraction of the id (reproducible on any
+    cluster size / row order; no RNG). Even-numbered sources keep 75%, odd
+    keep 30%. Pure per-batch map + tiny groupby — no payload shuffle."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t.column("doc_id"), pa.string())
+        t2 = pa.table({"k": pc.binary_join_element_wise("s:", sid, "")})
+        h = dedup.add_md5_batch(t2, "k", out="h").column("h").to_pylist()
+        frac = np.array([int(x[:4], 16) for x in h], dtype=np.float64) / 65536.0
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(t.column("source"), 3, 99),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rate = np.where(src_num % 2 == 0, 0.75, 0.30)
+        return pa.table({"source": t.column("source"),
+                         "kept": pa.array((frac < rate).astype(np.int64))})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("kept", alias_name="n_kept"),
+                      Count(alias_name="n_total"))
+           .to_pandas())
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) / 65536.0 AS frac,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 0.75 ELSE 0.30 END AS rate
+  FROM documents)
+SELECT source,
+       CAST(SUM(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+def q_mix_documents(sf_dir: str) -> pd.DataFrame:
+    """Weighted corpus mixing (epoch oversampling): source weight
+    w = 1 + (src_num % 4) * 0.75 — every doc is emitted floor(w) times plus
+    one more when its deterministic md5 fraction < frac(w). The Ray path
+    REPLICATES rows with np.repeat (the real mixing operator emits them
+    downstream); the oracle recomputes the emitted counts."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t.column("doc_id"), pa.string())
+        t2 = pa.table({"k": pc.binary_join_element_wise("m:", sid, "")})
+        h = dedup.add_md5_batch(t2, "k", out="h").column("h").to_pylist()
+        frac = np.array([int(x[:4], 16) for x in h], dtype=np.float64) / 65536.0
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(t.column("source"), 3, 99),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        w = 1.0 + (src_num % 4) * 0.75
+        copies = np.floor(w).astype(np.int64) + (frac < (w - np.floor(w)))
+        idx = np.repeat(np.arange(t.num_rows), copies)
+        return t.take(pa.array(idx, type=pa.int64()))
+
+    out = (ds.map_batches(replicate, batch_format="pyarrow")
+           .groupby("source").aggregate(Count(alias_name="n_rows"))
+           .to_pandas())
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_MIX_DOCUMENTS = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) / 65536.0 AS frac,
+         1.0 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 AS w
+  FROM documents)
+SELECT source,
+       CAST(SUM(CAST(floor(w) AS BIGINT)
+                + CASE WHEN frac < w - floor(w) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rows
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+def q_ref_events_customer_bloom(sf_dir: str) -> pd.DataFrame:
+    """Same referential check as ref_events_customer, through the
+    bloom-pruned path (functions/bloom.py): definite-absent probe rows skip
+    the dim side entirely; only bloom-positive candidates are verified
+    exactly. Oracle: identical SQL — the bloom only prunes, never changes
+    the answer."""
+    from ..functions import bloom
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey"])
+    n_dim = max(cu.count(), 1)
+    missing = bloom.bloom_anti_join_counts(ev, cu, "user_id", "c_custkey",
+                                           n_dim_items=n_dim)
+    return pd.DataFrame({
+        "orphan_events": pd.array([int(missing["left_cnt"].sum())
+                                   if len(missing) else 0], dtype="int64"),
+        "orphan_users": pd.array([len(missing)], dtype="int64")})
+
+
+def q_window_prank_lineitem(sf_dir: str) -> pd.DataFrame:
+    """percent_rank + cume_dist over (PARTITION BY l_returnflag ORDER BY
+    l_quantity) — the sort-based ranked pass plus broadcast N / tie-count
+    aggregates (functions/window.py)."""
+    from ..functions import window
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+    out = window.percent_rank_cume_dist(
+        ds, "l_returnflag", "l_quantity").to_pandas()
+    out["prnk"] = out["prnk"].round(6)
+    out["cume"] = out["cume"].round(6)
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+SQL_WINDOW_PRANK_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       ROUND(percent_rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity), 6) AS prnk,
+       ROUND(cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity), 6) AS cume
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_zscore_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-group z-score normalization (feature scaling): one pass of
+    per-batch moment partials (n, Σx, Σx²) per key → tiny combine →
+    broadcast (mean, stddev_pop) → one vectorized normalize pass. No
+    payload shuffle at any point."""
+    import ray
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "x": t.column("l_extendedprice").to_numpy(
+                zero_copy_only=False).astype(np.float64)})
+        g = df.groupby("k")["x"].agg(n="count", s="sum",
+                                     ss=lambda v: float((v * v).sum()))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("k").agg(n=("n", "sum"), s=("s", "sum"),
+                               ss=("ss", "sum")).reset_index()
+    g["mean"] = g["s"] / g["n"]
+    g["sd"] = np.sqrt(np.maximum(g["ss"] / g["n"] - g["mean"] ** 2, 0.0))
+    dims_ref = ray.put(g[["k", "mean", "sd"]])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        d = ray.get(dims_ref)
+        b = pd.DataFrame({"k": t.column("l_returnflag").to_numpy(
+            zero_copy_only=False)})
+        m = b.merge(d, on="k", how="left")
+        x = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        z = (x - m["mean"].to_numpy()) / m["sd"].to_numpy()
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "z": pa.array(np.round(z, 6), type=pa.float64())})
+
+    out = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+SQL_ZSCORE_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_extendedprice - AVG(l_extendedprice)
+                OVER (PARTITION BY l_returnflag))
+             / STDDEV_POP(l_extendedprice)
+                OVER (PARTITION BY l_returnflag), 6) AS z
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
 QUERIES = {
     # rule engine over TPC-H tables (DuckDB-verified)
     "rules_orders": q_rules_orders,
@@ -2127,6 +2449,7 @@ QUERIES = {
     "unique_orders": q_unique_orders,
     "ref_events_customer": q_ref_events_customer,
     "ref_orders_customer": q_ref_orders_customer,
+    "ref_events_customer_bloom": q_ref_events_customer_bloom,
     # documents ops (DuckDB-verified where expressible)
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
@@ -2148,6 +2471,11 @@ QUERIES = {
     "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
     "corpus_clean_documents": q_corpus_clean_documents,
+    "pii_redact_documents": q_pii_redact_documents,
+    "lineclean_documents": q_lineclean_documents,
+    "chunk_documents": q_chunk_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "mix_documents": q_mix_documents,
     # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
@@ -2158,6 +2486,8 @@ QUERIES = {
     "window_cumsum_orders": q_window_cumsum_orders,
     "window_lag_events": q_window_lag_events,
     "window_rank_lineitem": q_window_rank_lineitem,
+    "window_prank_lineitem": q_window_prank_lineitem,
+    "zscore_lineitem": q_zscore_lineitem,
     "ntile_orders": q_ntile_orders,
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
@@ -2200,6 +2530,7 @@ ORACLES = {
     "unique_orders": SQL_UNIQUE_ORDERS,
     "ref_events_customer": SQL_REF_EVENTS_CUSTOMER,
     "ref_orders_customer": SQL_REF_ORDERS_CUSTOMER,
+    "ref_events_customer_bloom": SQL_REF_EVENTS_CUSTOMER,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
@@ -2227,7 +2558,14 @@ ORACLES = {
     "window_cumsum_orders": SQL_WINDOW_CUMSUM_ORDERS,
     "window_lag_events": SQL_WINDOW_LAG_EVENTS,
     "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
+    "window_prank_lineitem": SQL_WINDOW_PRANK_LINEITEM,
+    "zscore_lineitem": SQL_ZSCORE_LINEITEM,
     "ntile_orders": SQL_NTILE_ORDERS,
+    "pii_redact_documents": SQL_PII_REDACT_DOCUMENTS,
+    "lineclean_documents": SQL_LINECLEAN_DOCUMENTS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
+    "mix_documents": SQL_MIX_DOCUMENTS,
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,

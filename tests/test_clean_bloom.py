@@ -1,0 +1,138 @@
+"""Unit tests: corpus-cleaning kernels (functions/clean.py), bloom-filter
+reference checks (functions/bloom.py), percent_rank/cume_dist windows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from faang_pydantics_validation_ray.functions import bloom, clean, window
+
+
+def _t(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+class TestRedact:
+    def test_redacts_all_three_kinds(self):
+        r = clean.redact_pii_batch(_t(
+            ["mail a.b+c@ex.co.uk now", "call +1-202-555-0143",
+             "ping 192.168.0.1", None, ""]))
+        out = r.column("clean_text").to_pylist()
+        assert out[0] == "mail <EMAIL> now"
+        assert out[1] == "call <PHONE>"
+        assert out[2] == "ping <IP>"
+        assert out[3] == "" and out[4] == ""
+        assert r.column("n_email").to_pylist() == [1, 0, 0, 0, 0]
+        assert r.column("n_phone").to_pylist() == [0, 1, 0, 0, 0]
+        assert r.column("n_ip").to_pylist() == [0, 0, 1, 0, 0]
+
+    def test_multiple_matches_counted(self):
+        r = clean.redact_pii_batch(_t(["a@b.io c@d.org and 8.8.8.8 1.2.3.4"]))
+        assert r.column("n_email").to_pylist() == [2]
+        assert r.column("n_ip").to_pylist() == [2]
+        assert "<EMAIL> <EMAIL>" in r.column("clean_text").to_pylist()[0]
+
+
+class TestCleanLines:
+    def test_min_words_filter(self):
+        r = clean.clean_lines_batch(
+            _t(["one two three\nshort\nfour five six seven", "tiny", None]),
+            min_words=3)
+        assert r.column("clean_text").to_pylist() == [
+            "one two three\nfour five six seven", "", ""]
+        assert r.column("n_lines").to_pylist() == [3, 1, 1]
+        assert r.column("kept_lines").to_pylist() == [2, 0, 0]
+
+    def test_terminal_punctuation(self):
+        r = clean.clean_lines_batch(
+            _t(["good line here.\nno terminal punct\nalso fine one!"]),
+            min_words=3, require_terminal=True)
+        assert r.column("clean_text").to_pylist() == [
+            "good line here.\nalso fine one!"]
+
+    def test_empty_rows_at_boundaries(self):
+        # leading/trailing/empty docs exercise the offset arithmetic
+        r = clean.clean_lines_batch(_t(["", "a b c d", ""]), min_words=2)
+        assert r.column("clean_text").to_pylist() == ["", "a b c d", ""]
+        assert r.column("kept_lines").to_pylist() == [0, 1, 0]
+
+
+class TestChunk:
+    def test_overlapping_windows(self):
+        toks = " ".join(f"w{i}" for i in range(11))
+        out = clean.chunk_batch(_t([toks]), size=5, step=3).to_pandas()
+        # ws=11 → ceil((11-5)/3)+1 = 3 chunks
+        assert out["chunk_id"].tolist() == [0, 1, 2]
+        assert out["chunk_text"].tolist() == [
+            "w0 w1 w2 w3 w4", "w3 w4 w5 w6 w7", "w6 w7 w8 w9 w10"]
+        assert out["chunk_tokens"].tolist() == [5, 5, 5]
+
+    def test_short_and_empty_docs(self):
+        out = clean.chunk_batch(_t(["a b", "", None]), size=5,
+                                step=3).to_pandas()
+        assert len(out) == 1            # empty/null docs emit nothing
+        assert out["chunk_text"].tolist() == ["a b"]
+        assert out["chunk_tokens"].tolist() == [2]
+
+    def test_exact_boundary(self):
+        # ws == size → exactly one chunk
+        out = clean.chunk_batch(_t(["a b c d e"]), size=5, step=3).to_pandas()
+        assert len(out) == 1 and out["chunk_tokens"].tolist() == [5]
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        rng = np.random.default_rng(7)
+        present = rng.choice(10**9, size=20_000, replace=False)
+        b = bloom.Bloom(len(present), fp_rate=0.01)
+        b.add(present)
+        assert b.contains(present).all()
+        absent = present + 10**9              # disjoint by construction
+        fp = b.contains(absent).mean()
+        assert fp < 0.03
+
+    def test_anti_join_counts_matches_exact(self, ray_session):
+        import ray.data as rd
+        probe = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 1, 2, 3, 5, 8, 13, 21, 2]}))
+        dim = rd.from_pandas(pd.DataFrame({"d": [1, 3, 8, 100]}))
+        out = bloom.bloom_anti_join_counts(probe, dim, "k", "d",
+                                           n_dim_items=4)
+        assert dict(zip(out["k"], out["left_cnt"])) == {2: 2, 5: 1, 13: 1,
+                                                        21: 1}
+
+    def test_semi_join_matches_exact(self, ray_session):
+        import ray.data as rd
+        rng = np.random.default_rng(3)
+        probe = pd.DataFrame({"k": rng.integers(0, 500, size=2000),
+                              "payload": np.arange(2000)})
+        dim = pd.DataFrame({"d": np.arange(0, 500, 7)})
+        got = (bloom.bloom_semi_join(rd.from_pandas(probe),
+                                     rd.from_pandas(dim), "k", "d",
+                                     n_dim_items=len(dim))
+               .to_pandas().sort_values("payload").reset_index(drop=True))
+        want = (probe[probe["k"].isin(set(dim["d"]))]
+                .sort_values("payload").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestPercentRank:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"k": rng.choice(list("abc"), size=300),
+                           "v": rng.integers(0, 20, size=300).astype(float),
+                           "i": np.arange(300)})
+        out = (window.percent_rank_cume_dist(rd.from_pandas(df), "k", "v")
+               .to_pandas().sort_values("i").reset_index(drop=True))
+        want_p = df.groupby("k")["v"].rank(method="min")
+        n = df.groupby("k")["v"].transform("size")
+        want_prnk = ((want_p - 1) / (n - 1).clip(lower=1)).where(n > 1, 0.0)
+        want_cume = df.groupby("k")["v"].rank(method="max") / n
+        got = out.sort_values("i")
+        assert np.allclose(got["prnk"].to_numpy(),
+                           want_prnk.to_numpy(), atol=1e-12)
+        assert np.allclose(got["cume"].to_numpy(),
+                           want_cume.to_numpy(), atol=1e-12)
