@@ -38,6 +38,44 @@ except ImportError:  # pragma: no cover
     rd = None
 
 
+def hash_partitioned_sum(partials: "rd.Dataset", key: str,
+                         sum_cols: list[str],
+                         num_partitions: int | None = None,
+                         post=None) -> "rd.Dataset":
+    """Sum ``sum_cols`` per ``key`` via a hash-partitioned reduce: bucket
+    the (already map-side-combined) partial rows into ~#cores partitions by
+    key hash, then ONE vectorized pandas groupby-sum per partition.
+
+    This replaces ``groupby(key).aggregate(Sum...)`` for aggregate-only
+    shuffles: Ray's per-key sort-based aggregate pays a large constant per
+    DISTINCT key (measured 8.7 s for 195k string keys / 294k partial rows
+    on 32 cpus), while the partitioned reduce is a 32-group sort + 32
+    C-speed combines (measured 1.7 s warm — 5×). Partition sizes are
+    balanced by distinct-key count (hot keys were already combined to one
+    row per batch upstream), and ``num_partitions`` derives from the live
+    session so a 4N-core cluster fans out 4× wider.
+
+    ``post``: optional per-partition pandas filter applied AFTER the
+    combine (valid for row-wise predicates — every key lives in exactly
+    one partition), so oversized results shrink before leaving workers.
+    """
+    from ..runtime import shuffle_partitions
+    P = num_partitions or shuffle_partitions()
+
+    def add_p(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column(key).to_numpy(zero_copy_only=False)),
+            index=False).to_numpy()
+        return t.append_column("_p", pa.array((h % P).astype(np.int64)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key, sort=False)[sum_cols].sum().reset_index())
+        return post(out) if post is not None else out
+
+    return (partials.map_batches(add_p, batch_format="pyarrow")
+            .groupby("_p").map_groups(combine, batch_format="pandas"))
+
+
 def _batch_key_counts(t: pa.Table, key: str) -> pa.Table:
     """Vectorized within-batch combine: (key, cnt) for non-null keys."""
     valid = t.filter(pc.is_valid(t.column(key)))
@@ -49,12 +87,11 @@ def _batch_key_counts(t: pa.Table, key: str) -> pa.Table:
 
 
 def key_counts(ds: "rd.Dataset", key: str) -> "rd.Dataset":
-    """Distributed exact key counts with map-side combine: one shuffle over
-    (key, partial) rows only."""
-    from ray.data.aggregate import Sum
+    """Distributed exact key counts with map-side combine: one
+    hash-partitioned reduce over (key, partial) rows only."""
     partials = ds.map_batches(lambda t: _batch_key_counts(t, key),
                               batch_format="pyarrow")
-    return partials.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    return hash_partitioned_sum(partials, key, ["cnt"])
 
 
 def duplicate_keys(ds: "rd.Dataset", key: str, min_count: int = 2) -> "rd.Dataset":
@@ -156,8 +193,6 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     present in ``catalog_keys`` (downgraded severity at the caller); with no
     catalog it is empty and every unresolved ref lands in ``missing``.
     """
-    from ray.data.aggregate import Sum
-
     def _tagged_counts(t: pa.Table, key_src: str,
                        prefix: str) -> tuple[pa.Array, pa.Array]:
         c = _batch_key_counts(t, key_src)
@@ -197,19 +232,19 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     if catalog_keys is not None:
         tagged = tagged.union(catalog_keys.map_batches(cat_partials,
                                                        batch_format="pyarrow"))
-    summed = tagged.groupby("key").aggregate(Sum("own_cnt", alias_name="own_cnt"),
-                                             Sum("cap_cnt", alias_name="cap_cnt"),
-                                             Sum("cat_cnt", alias_name="cat_cnt"))
+
     # own_cnt==0 keys matter only when something actually references them
     # (cap_cnt>0): without the cap_cnt guard every unreferenced external-
     # catalog key would reach the driver, scaling driver memory with catalog
-    # size instead of dup+orphan keys
-    interesting = summed.map_batches(
-        lambda t: t.filter(pc.or_(
-            pc.greater_equal(t.column("own_cnt"), min_count),
-            pc.and_(pc.equal(t.column("own_cnt"), 0),
-                    pc.greater(t.column("cap_cnt"), 0)))),
-        batch_format="pyarrow").to_pandas()
+    # size instead of dup+orphan keys. The filter runs INSIDE the reduce
+    # partitions (post=) so only aggregate-sized rows ever leave workers.
+    def _post(g: pd.DataFrame) -> pd.DataFrame:
+        return g[(g["own_cnt"] >= min_count)
+                 | ((g["own_cnt"] == 0) & (g["cap_cnt"] > 0))]
+
+    interesting = hash_partitioned_sum(
+        tagged, "key", ["own_cnt", "cap_cnt", "cat_cnt"],
+        post=_post).to_pandas()
     empty = (pd.DataFrame({id_col: [], "cnt": []}),
              pd.DataFrame({id_col: [], "left_cnt": []}),
              pd.DataFrame({phash_col: [], "cnt": []}),
@@ -270,8 +305,6 @@ def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.D
     /root/reference/generic_validator_classes.py:576-641): both sides collapse
     to (key, partial count) inside map_batches, union, one hash shuffle on the
     key, filter right_cnt == 0."""
-    from ray.data.aggregate import Sum
-
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
             c = _batch_key_counts(t, key)
@@ -285,10 +318,9 @@ def anti_join_counts(left: "rd.Dataset", right: "rd.Dataset", key: str) -> "rd.D
 
     unioned = left.map_batches(tag("left"), batch_format="pyarrow").union(
         right.map_batches(tag("right"), batch_format="pyarrow"))
-    summed = unioned.groupby(key).aggregate(Sum("lcnt", alias_name="left_cnt"),
-                                            Sum("rcnt", alias_name="right_cnt"))
-    return summed.map_batches(
-        lambda t: t.filter(pc.and_(pc.equal(t.column("right_cnt"), 0),
-                                   pc.greater(t.column("left_cnt"), 0)))
-        .select([key, "left_cnt"]),
-        batch_format="pyarrow")
+    summed = hash_partitioned_sum(
+        unioned, key, ["lcnt", "rcnt"],
+        post=lambda g: (g[(g["rcnt"] == 0) & (g["lcnt"] > 0)]
+                        .rename(columns={"lcnt": "left_cnt"})
+                        [[key, "left_cnt"]]))
+    return summed

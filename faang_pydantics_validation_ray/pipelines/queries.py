@@ -2430,6 +2430,38 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber
 """
 
 
+def q_heavy_hitters_documents(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters (functions/heavy.py): every token with
+    frequency >= 0.2% of the stream, found with two shuffle-free passes
+    (per-batch k-counter sketches → driver merge → broadcast candidates →
+    exact sparse counts). Counts are EXACT — the oracle is a plain
+    GROUP BY ... HAVING over the same token stream."""
+    from ..functions import heavy
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Array:
+        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+            t.column("text"), "")))
+        flat = pc.list_flatten(pc.split_pattern_regex(txt, r"\s+"))
+        return flat.filter(pc.not_equal(flat, ""))
+
+    return heavy.heavy_hitters(ds, toks, k=2000, min_frac=0.002)
+
+
+SQL_HEAVY_HITTERS_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+             lower(trim(COALESCE(text, ''))), '\s+')) AS token
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+), tt AS (SELECT COUNT(*) AS total FROM toks WHERE token != '')
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks, tt WHERE token != ''
+GROUP BY token, tt.total
+HAVING COUNT(*) >= CAST(ceil(0.002 * tt.total) AS BIGINT)
+ORDER BY n DESC, token
+"""
+
+
 QUERIES = {
     # rule engine over TPC-H tables (DuckDB-verified)
     "rules_orders": q_rules_orders,
@@ -2457,6 +2489,7 @@ QUERIES = {
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
     "docfreq_documents": q_docfreq_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
     "hist_lineitem": q_hist_lineitem,
@@ -2537,6 +2570,7 @@ ORACLES = {
     "langid_documents": SQL_LANGID_DOCUMENTS,
     "vocab_documents": SQL_VOCAB_DOCUMENTS,
     "docfreq_documents": SQL_DOCFREQ_DOCUMENTS,
+    "heavy_hitters_documents": SQL_HEAVY_HITTERS_DOCUMENTS,
     "tfidf_documents": SQL_TFIDF_DOCUMENTS,
     "split_documents": SQL_SPLIT_DOCUMENTS,
     "decontam_documents": SQL_DECONTAM_DOCUMENTS,

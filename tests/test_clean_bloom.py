@@ -136,3 +136,37 @@ class TestPercentRank:
                            want_prnk.to_numpy(), atol=1e-12)
         assert np.allclose(got["cume"].to_numpy(),
                            want_cume.to_numpy(), atol=1e-12)
+
+
+class TestHeavyHitters:
+    def test_mg_merge_shrinks_and_keeps_heavy(self):
+        import pandas as pd
+        from faang_pydantics_validation_ray.functions.heavy import mg_merge
+        s = pd.Series({"hot": 1000, "warm": 50, "a": 3, "b": 2, "c": 1})
+        out = mg_merge(s, 2)
+        assert len(out) <= 2 and "hot" in out.index
+        assert out["hot"] == 1000 - 3     # decremented by (k+1)-th largest
+
+    def test_exact_counts_on_skewed_stream(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from faang_pydantics_validation_ray.functions import heavy
+        rng = np.random.default_rng(5)
+        # zipf-ish: token t0 dominates; long uniform tail
+        toks = (["t0"] * 5000 + ["t1"] * 900
+                + [f"tail{i}" for i in rng.integers(0, 4000, size=4000)])
+        rng.shuffle(toks)
+        docs = [" ".join(toks[i:i + 50]) for i in range(0, len(toks), 50)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+
+        def bt(t: pa.Table) -> pa.Array:
+            flat = pc.list_flatten(pc.split_pattern_regex(
+                pc.fill_null(t.column("text"), ""), r"\s+"))
+            return flat.filter(pc.not_equal(flat, ""))
+
+        out = heavy.heavy_hitters(ds, bt, k=100, min_frac=0.04)
+        got = dict(zip(out["token"], out["n"]))
+        assert got == {"t0": 5000, "t1": 900}
