@@ -41,13 +41,23 @@ def add_md5_batch(t: pa.Table, col: str = "text",
 
 def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
     """→ Dataset(content_hash, keep_id, cnt): one row per distinct content,
-    keep_id = min id (deterministic survivor)."""
-    from ray.data.aggregate import Count, Min
-    hashed = ds.map_batches(lambda t: add_md5_batch(t, col)
-                            .select(["content_hash", id_col]),
-                            batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="cnt"))
+    keep_id = min id (deterministic survivor). Per-batch combine (min id +
+    count per hash) so only one partial row per distinct hash per batch
+    enters the hash-partitioned reduce — raw rows never shuffle."""
+    from .groups import hash_partitioned_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        df = (add_md5_batch(t, col).select(["content_hash", id_col])
+              .to_pandas()
+              .groupby("content_hash", sort=False)
+              .agg(keep_id=(id_col, "min"), cnt=(id_col, "size"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    return hash_partitioned_agg(partials, "content_hash",
+                                {"keep_id": ("keep_id", "min"),
+                                 "cnt": ("cnt", "sum")})
 
 
 # ------------------------------------------------------------- minhash+LSH
@@ -203,7 +213,8 @@ def _colliding_bucket_rows(bucket_rows, combo_col: str, min_count: int = 2):
     bucket, which paid one pandas call per distinct bucket (VERDICT r1 #2).
     Returns None when no bucket collides."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from .groups import hash_partitioned_sum
 
     mat = bucket_rows.materialize()
 
@@ -214,11 +225,10 @@ def _colliding_bucket_rows(bucket_rows, combo_col: str, min_count: int = 2):
         g = t.select([combo_col]).group_by(combo_col).aggregate([([], "count_all")])
         return g.rename_columns([combo_col, "cnt"])
 
-    surv = (mat.map_batches(part, batch_format="pyarrow")
-            .groupby(combo_col).aggregate(Sum("cnt", alias_name="cnt"))
-            .map_batches(lambda t: t.filter(
-                pc.greater_equal(t.column("cnt"), min_count)).select([combo_col]),
-                batch_format="pyarrow").to_pandas())
+    surv = (hash_partitioned_sum(
+        mat.map_batches(part, batch_format="pyarrow"), combo_col, ["cnt"],
+        post=lambda g: g[g["cnt"] >= min_count][[combo_col]])
+        .to_pandas())
     if surv.empty:
         return None
     sref = ray.put(pa.array(surv[combo_col].to_numpy()))

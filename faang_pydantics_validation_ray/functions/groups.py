@@ -59,6 +59,20 @@ def hash_partitioned_sum(partials: "rd.Dataset", key: str,
     combine (valid for row-wise predicates — every key lives in exactly
     one partition), so oversized results shrink before leaving workers.
     """
+    return hash_partitioned_agg(partials, key,
+                                {c: (c, "sum") for c in sum_cols},
+                                num_partitions=num_partitions, post=post)
+
+
+def hash_partitioned_agg(partials: "rd.Dataset", key: str,
+                         agg: dict[str, tuple[str, str]],
+                         num_partitions: int | None = None,
+                         post=None) -> "rd.Dataset":
+    """Generalized hash-partitioned reduce: ``agg`` maps output column →
+    (input column, pandas agg fn name) — each fn must be re-applicable over
+    per-batch partials of itself (sum/min/max/count-as-sum). See
+    :func:`hash_partitioned_sum` for why this beats per-key
+    ``groupby().aggregate`` and for the skew/partitioning notes."""
     from ..runtime import shuffle_partitions
     P = num_partitions or shuffle_partitions()
 
@@ -69,7 +83,10 @@ def hash_partitioned_sum(partials: "rd.Dataset", key: str,
         return t.append_column("_p", pa.array((h % P).astype(np.int64)))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(key, sort=False)[sum_cols].sum().reset_index())
+        out = (g.groupby(key, sort=False)
+               .agg(**{o: pd.NamedAgg(column=c, aggfunc=f)
+                       for o, (c, f) in agg.items()})
+               .reset_index())
         return post(out) if post is not None else out
 
     return (partials.map_batches(add_p, batch_format="pyarrow")

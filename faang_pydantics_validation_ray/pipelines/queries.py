@@ -608,8 +608,8 @@ def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    agg = groups.hash_partitioned_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "token", ["n"])
     cand = agg.sort("n", descending=True).limit(2000).to_pandas()
     out = (cand.sort_values(["n", "token"], ascending=[False, True])
            .head(50).reset_index(drop=True))
@@ -661,8 +661,8 @@ def q_docfreq_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"token": pa.array(vc.index, type=pa.string()),
                          "df": pa.array(vc.to_numpy(), type=pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    agg = groups.hash_partitioned_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "token", ["df"])
     cand = agg.sort("df", descending=True).limit(2000).to_pandas()
     out = (cand.sort_values(["df", "token"], ascending=[False, True])
            .head(50).reset_index(drop=True))
@@ -715,9 +715,9 @@ def q_tfidf_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"token": pa.array(vc.index, type=pa.string()),
                          "df": pa.array(vc.to_numpy(), type=pa.int64())})
 
-    dfm = (ds.map_batches(df_partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("df", alias_name="df"))
-           .to_pandas())
+    dfm = groups.hash_partitioned_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "token",
+        ["df"]).to_pandas()
     df_ref = ray.put(pd.Series(dfm["df"].to_numpy(),
                                index=dfm["token"]))
 
