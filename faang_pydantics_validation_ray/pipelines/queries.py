@@ -2462,6 +2462,39 @@ ORDER BY n DESC, token
 """
 
 
+def q_approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct cardinalities via per-batch HyperLogLog partials
+    (4 KB register array per batch, elementwise-max merged on the driver —
+    the constant-memory alternative to an exact distinct shuffle at 10^12
+    rows). Emits estimate next to the exact count and the relative error;
+    rows-only entry (approximate by nature) — the ±5% bound is asserted by
+    `tests` and visible in the rel_err column."""
+    from ..functions.sketches import HLL
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[c] = pa.array([HLL().add_column(t.column(c)).to_bytes()],
+                              type=pa.binary())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for c in cols:
+        h = HLL()
+        for b in parts[c]:
+            h.merge(HLL.from_bytes(b))
+        est = int(round(h.estimate()))
+        exact = int(_read(sf_dir, "lineitem", columns=[c])
+                    .unique(c).__len__())
+        rows.append((c, est, exact,
+                     round(abs(est - exact) / max(exact, 1), 6)))
+    return pd.DataFrame(rows, columns=["column", "estimate", "exact",
+                                       "rel_err"])
+
+
 QUERIES = {
     # rule engine over TPC-H tables (DuckDB-verified)
     "rules_orders": q_rules_orders,
@@ -2490,6 +2523,7 @@ QUERIES = {
     "vocab_documents": q_vocab_documents,
     "docfreq_documents": q_docfreq_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "approx_distinct_lineitem": q_approx_distinct_lineitem,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
     "hist_lineitem": q_hist_lineitem,

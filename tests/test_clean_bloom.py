@@ -170,3 +170,10 @@ class TestHeavyHitters:
         out = heavy.heavy_hitters(ds, bt, k=100, min_frac=0.04)
         got = dict(zip(out["token"], out["n"]))
         assert got == {"t0": 5000, "t1": 900}
+
+
+def test_approx_distinct_within_bound(ray_session):
+    from faang_pydantics_validation_ray.pipelines.queries import QUERIES
+    out = QUERIES["approx_distinct_lineitem"]("/root/testdata/sf0.001")
+    assert set(out["column"]) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    assert (out["rel_err"] < 0.05).all(), out
