@@ -234,6 +234,41 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
         cnts = pa.concat_arrays([ic, pcn])
         return _table(keys, cnts, _zeros(len(keys)), _zeros(len(keys)))
 
+    tagged = narrow.map_batches(img_partials, batch_format="pyarrow")
+    return fused_counts_from_partials(tagged, captions_keys,
+                                      id_col=id_col, phash_col=phash_col,
+                                      min_count=min_count,
+                                      catalog_keys=catalog_keys)
+
+
+def fused_counts_from_partials(own_tagged: "rd.Dataset",
+                               captions_keys: "rd.Dataset | None",
+                               id_col: str = "image_id",
+                               phash_col: str = "phash",
+                               min_count: int = 2,
+                               catalog_keys: "rd.Dataset | None" = None,
+                               ) -> tuple[pd.DataFrame, pd.DataFrame,
+                                          pd.DataFrame, pd.DataFrame]:
+    """Same fused exchange as :func:`fused_cross_record_counts`, but the
+    own-side partials arrive pre-tagged as (key, own_cnt, cap_cnt, cat_cnt)
+    rows — the flagship emits them straight from pass 1's fused actor stage
+    (stages/validate_batch.py::_key_count_events), so the shuffle rules pay
+    NO second full-table scan."""
+    def _tagged_counts(t: pa.Table, key_src: str,
+                       prefix: str) -> tuple[pa.Array, pa.Array]:
+        c = _batch_key_counts(t, key_src)
+        keys = pc.binary_join_element_wise(
+            pa.array([prefix] * c.num_rows, type=pa.string()),
+            pc.cast(c.column(key_src), pa.string()).combine_chunks(), ":")
+        return keys, c.column("cnt").combine_chunks()
+
+    def _table(keys, own, cap, cat) -> pa.Table:
+        return pa.table({"key": keys, "own_cnt": own, "cap_cnt": cap,
+                         "cat_cnt": cat})
+
+    def _zeros(n: int) -> pa.Array:
+        return pa.array(np.zeros(n, dtype=np.int64))
+
     def cap_partials(t: pa.Table) -> pa.Table:
         k, c = _tagged_counts(t, id_col, "i")
         return _table(k, _zeros(len(k)), c, _zeros(len(k)))
@@ -242,7 +277,7 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
         k, c = _tagged_counts(t, id_col, "i")
         return _table(k, _zeros(len(k)), _zeros(len(k)), c)
 
-    tagged = narrow.map_batches(img_partials, batch_format="pyarrow")
+    tagged = own_tagged
     if captions_keys is not None:
         tagged = tagged.union(captions_keys.map_batches(cap_partials,
                                                         batch_format="pyarrow"))

@@ -187,8 +187,22 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
 
     if opts.check_unique or opts.check_neardup or \
             (captions_ds is not None and opts.check_referential):
-        dup, missing, near_cnt, external = groups.fused_cross_record_counts(
-            narrow_ds,
+        # own-side partials come FROM the pass-1 event stream (kind=
+        # "key_count" rows emitted by the fused actor stage while it already
+        # held every row) — the shuffle rules pay no second full-table scan;
+        # narrow_ds is only consulted below for near-dup exemplar collection
+        def _own_partials(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t.column("kind"), "key_count"))
+            n = sub.num_rows
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.table({"key": sub.column("key"),
+                             "own_cnt": pc.cast(sub.column("count"),
+                                                pa.int64()),
+                             "cap_cnt": zero, "cat_cnt": zero})
+
+        own_tagged = events.map_batches(_own_partials, batch_format="pyarrow")
+        dup, missing, near_cnt, external = groups.fused_counts_from_partials(
+            own_tagged,
             captions_ds.select_columns(["image_id"])
             if captions_ds is not None and opts.check_referential else None,
             min_count=2,

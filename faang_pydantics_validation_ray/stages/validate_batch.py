@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.groups import _batch_key_counts
 from ..functions.sketches import ColumnProfile
 from ..rules import image_rules
 from ..rules.spec import RuleSet
@@ -44,6 +45,7 @@ EVENT_SCHEMA = pa.schema([
     ("n_warn_only_rows", pa.int64()),
     ("col", pa.string()),
     ("sketch", pa.binary()),
+    ("key", pa.string()),
 ])
 
 PROFILE_COLS = ("w", "h", "byte_size", "phash")
@@ -111,4 +113,43 @@ class ValidateImagesBatch:
                     prof = ColumnProfile().add_arrow(sub.column(colname))
                     out.append({"kind": "sketch", "partition_id": int(pid),
                                 "col": colname, "sketch": prof.to_bytes()})
-        return _events(out)
+        ev = _events(out)
+        kc = _key_count_events(batch)
+        return pa.concat_tables([ev, kc]) if kc.num_rows else ev
+
+
+def _key_count_events(batch: pa.Table) -> pa.Table:
+    """Per-batch combined (key, count) partials for the cross-record
+    counting rules, emitted from the SAME pass that already holds every row
+    — the separate narrow full-table scan the shuffle rules used to pay is
+    gone. Keys use the fused namespaces (``i:<image_id>``, ``p:<phash>``)
+    over the RAW batch values (pre-normalize — identical to what a narrow
+    parquet re-read would see). Vectorized: one Arrow group_by per key."""
+    keys, counts = [], []
+    for colname, prefix in (("image_id", "i"), ("phash", "p")):
+        if colname not in batch.column_names:
+            continue
+        c = _batch_key_counts(batch, colname)
+        if c.num_rows == 0:
+            continue
+        keys.append(pc.binary_join_element_wise(
+            pa.array([prefix] * c.num_rows, type=pa.string()),
+            pc.cast(c.column(colname), pa.string()).combine_chunks(), ":"))
+        counts.append(pc.cast(c.column("cnt"), pa.int64()).combine_chunks())
+    if not keys:
+        return _events([])
+    key_arr = pa.concat_arrays(keys)
+    n = len(key_arr)
+    cols = {}
+    for f in EVENT_SCHEMA:
+        if f.name == "kind":
+            cols[f.name] = pa.array(["key_count"] * n, type=pa.string())
+        elif f.name == "key":
+            cols[f.name] = key_arr
+        elif f.name == "count":
+            cols[f.name] = pa.concat_arrays(counts)
+        elif f.name == "partition_id":
+            cols[f.name] = pa.array(np.full(n, -1, dtype=np.int32))
+        else:
+            cols[f.name] = pa.nulls(n, type=f.type)
+    return pa.table(cols, schema=EVENT_SCHEMA)
