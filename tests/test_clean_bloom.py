@@ -177,3 +177,18 @@ def test_approx_distinct_within_bound(ray_session):
     out = QUERIES["approx_distinct_lineitem"]("/root/testdata/sf0.001")
     assert set(out["column"]) == {"l_partkey", "l_suppkey", "l_orderkey"}
     assert (out["rel_err"] < 0.05).all(), out
+
+
+def test_clean_kernels_accept_empty_batches():
+    # Ray hands stages zero-row batches at block boundaries
+    import pyarrow as pa
+    from faang_pydantics_validation_ray.functions import clean
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    r = clean.redact_pii_batch(empty)
+    assert r.num_rows == 0 and "clean_text" in r.column_names
+    c = clean.clean_lines_batch(empty)
+    assert c.num_rows == 0 and "kept_lines" in c.column_names
+    ch = clean.chunk_batch(empty)
+    assert ch.num_rows == 0 and ch.column_names == [
+        "doc_id", "chunk_id", "chunk_text", "chunk_tokens"]
