@@ -192,3 +192,18 @@ def test_clean_kernels_accept_empty_batches():
     ch = clean.chunk_batch(empty)
     assert ch.num_rows == 0 and ch.column_names == [
         "doc_id", "chunk_id", "chunk_text", "chunk_tokens"]
+
+
+def test_hash_partitioned_reduce_empty_and_tiny(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions import groups
+    # empty probe side: anti-join over empty datasets must not crash
+    empty = rd.from_pandas(pd.DataFrame({"key": pd.array([], dtype="int64")}))
+    out = groups.anti_join_counts(empty, empty, "key").to_pandas()
+    assert len(out) == 0
+    # tiny: counts survive the partitioned reduce exactly
+    left = rd.from_pandas(pd.DataFrame({"key": [1, 1, 2, 9]}))
+    right = rd.from_pandas(pd.DataFrame({"key": [2]}))
+    out = groups.anti_join_counts(left, right, "key").to_pandas()
+    assert dict(zip(out["key"], out["left_cnt"])) == {1: 2, 9: 1}
