@@ -159,7 +159,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         concurrency = max(2, cpus - 2)
 
     # ---- pass 1: heavy fused stage → small event stream (materialized once)
-    events = images_ds.map_batches(
+    events_all = images_ds.map_batches(
         ValidateImagesBatch,
         fn_constructor_kwargs=dict(exemplar_cap=opts.exemplar_cap,
                                    psnr_min=opts.psnr_min, decode=opts.decode,
@@ -169,7 +169,13 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     ).repartition(coalesce_blocks()).materialize()
     # coalesce: the event stream is tiny but inherits one block per upstream
     # task — fewer blocks make every downstream filter/groupby cheap; the
-    # count scales with session CPUs (no fixed cap on a bigger cluster)
+    # count scales with session CPUs (no fixed cap on a bigger cluster).
+    # The key_count partials (≈2 rows/image) dominate the stream's ROW count,
+    # so split them off once: every later _filter_kind pass scans only the
+    # small core stream instead of re-filtering millions of partial rows.
+    events = events_all.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"), "key_count")),
+        batch_format="pyarrow").materialize()
     _mark("pass1 fused stage")
 
     # ---- pass 2/3: narrow shuffle rules
@@ -200,7 +206,8 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                                                 pa.int64()),
                              "cap_cnt": zero, "cat_cnt": zero})
 
-        own_tagged = events.map_batches(_own_partials, batch_format="pyarrow")
+        own_tagged = events_all.map_batches(_own_partials,
+                                            batch_format="pyarrow")
         dup, missing, near_cnt, external = groups.fused_counts_from_partials(
             own_tagged,
             captions_ds.select_columns(["image_id"])
@@ -255,19 +262,32 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                 if len(stats) else
                 pd.DataFrame(columns=["rows", "n_error_rows", "n_warn_only_rows"]))
 
-    # ---- merge sketches per (partition, col) — distributed, then tiny driver df
-    def _merge_sketches(g: pd.DataFrame) -> pd.DataFrame:
-        prof = ColumnProfile.from_bytes(g["sketch"].iloc[0])
-        for b in g["sketch"].iloc[1:]:
-            prof.merge(ColumnProfile.from_bytes(b))
-        return pd.DataFrame({"partition_id": [g["partition_id"].iloc[0]],
-                             "col": [g["col"].iloc[0]],
-                             "sketch": [prof.to_bytes()]})
+    # ---- merge sketches per (partition, col): per-BLOCK pre-merge (no
+    # shuffle of multi-KB sketch blobs — the old groupby sorted hundreds of
+    # MB of binary rows and scaled NEGATIVELY with cpus), then a tiny,
+    # deterministic driver merge over ≤ #blocks × #partitions × #cols rows
+    def _block_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["partition_id", "col"], kind="mergesort")
+        out = []
+        for (pid, colname), rows in g.groupby(["partition_id", "col"],
+                                              sort=True):
+            prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
+            for b in rows["sketch"].iloc[1:]:
+                prof.merge(ColumnProfile.from_bytes(b))
+            out.append((pid, colname, prof.to_bytes()))
+        return pd.DataFrame(out, columns=["partition_id", "col", "sketch"])
 
-    sk = (_filter_kind(events, "sketch")
-          .select_columns(["partition_id", "col", "sketch"])
-          .groupby(["partition_id", "col"])
-          .map_groups(_merge_sketches, batch_format="pandas").to_pandas())
+    sk_parts = (_filter_kind(events, "sketch")
+                .select_columns(["partition_id", "col", "sketch"])
+                .map_batches(_block_merge, batch_format="pandas").to_pandas())
+    sk_rows = []
+    for (pid, colname), rows in sk_parts.groupby(["partition_id", "col"],
+                                                 sort=True):
+        prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
+        for b in rows["sketch"].iloc[1:]:
+            prof.merge(ColumnProfile.from_bytes(b))
+        sk_rows.append((pid, colname, prof.to_bytes()))
+    sk = pd.DataFrame(sk_rows, columns=["partition_id", "col", "sketch"])
     _mark("verdicts + sketch merge")
 
     prof_rows, drift_viol = [], []
