@@ -82,7 +82,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.read_parquet(f"{dirty}/images",
                     columns=["image_id"]).count()
 
-    opts = ValidationOptions(batch_size=512, concurrency=max(4, num_cpus - 2))
+    # leave ≥2 slots for read/shuffle tasks: a pool equal to the session's
+    # full CPU count starves upstream reads and stalls (seen at num_cpus=4)
+    opts = ValidationOptions(batch_size=512,
+                             concurrency=max(2, num_cpus - 2))
 
     def _flagship():
         return validate_images(
@@ -105,9 +108,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         _flagship()          # warm worker processes / imports / page cache
         gc.collect()
         time.sleep(2)
-    t0 = time.perf_counter()
-    res = _flagship()
-    headline = time.perf_counter() - t0
+    # median of N timed runs (default 1 for the per-round headline; the
+    # scaling harness sets FPV_BENCH_RUNS=3 — the sandbox VM shows ±50%
+    # run-to-run variance, so single-shot legs swamp the true N-vs-4N ratio)
+    n_runs = int(os.environ.get("FPV_BENCH_RUNS", "1"))
+    times, phase_runs = [], []
+    for _ in range(max(1, n_runs)):
+        t0 = time.perf_counter()
+        res = _flagship()
+        times.append(time.perf_counter() - t0)
+        phase_runs.append(res.summary.get("phase_sec", {}))
+    times_sorted = sorted(times)
+    headline = times_sorted[len(times_sorted) // 2]
+    med_idx = times.index(headline)
+    res_phases = phase_runs[med_idx]
     total_rows = res.summary["total"]
     violation_rows = int(res.rule_counts["count"].sum())
 
@@ -131,7 +145,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rows": total_rows,
         "images_per_sec": round(total_rows / headline, 1),
         "violation_rows_per_sec": round(violation_rows / headline, 1),
-        "phase_sec": res.summary.get("phase_sec", {}),
+        "phase_sec": res_phases,
+        "timed_runs": [round(t, 3) for t in times],
     }
     ray.shutdown()
     return out
@@ -150,7 +165,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     Override with FPV_N_MULT."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   FPV_N_MULT=os.environ.get("FPV_N_MULT", "16"))
+                   FPV_N_MULT=os.environ.get("FPV_N_MULT", "16"),
+                   FPV_BENCH_RUNS=os.environ.get("FPV_BENCH_RUNS", "3"))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
