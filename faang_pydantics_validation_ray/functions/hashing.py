@@ -61,6 +61,30 @@ def hash_column(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.nda
     return pd.util.hash_array(obj).astype(_U64)
 
 
+try:
+    from pandas._libs.hashing import hash_object_array as _hash_object_array
+except ImportError:  # pragma: no cover — private API moved; use slow path
+    _hash_object_array = None
+
+
 def stable_str_hash(s: str) -> int:
-    """Deterministic single-string → uint64 (for seeding per-image RNGs)."""
-    return int(pd.util.hash_array(np.array([s], dtype=object))[0])
+    """Deterministic single-string → uint64 (for seeding per-image RNGs).
+
+    Bit-for-bit identical to ``pd.util.hash_array(np.array([s], object))[0]``
+    (fixed-key SipHash + the splitmix-style finalizer pandas applies), but
+    via the low-level cython call: ``pd.util.hash_array`` spends ~300 µs per
+    call on Index/dtype ceremony, which dominated gen_pixels — this is the
+    per-image reference-pixel seed, called once per lossy image in the
+    decode stage."""
+    if _hash_object_array is None:
+        return int(pd.util.hash_array(np.array([s], dtype=object))[0])
+    v = _hash_object_array(np.array([s], dtype=object),
+                           "0123456789123456")[0]
+    v = _U64(v)
+    with np.errstate(over="ignore"):
+        v ^= v >> _U64(30)
+        v *= _U64(0xBF58476D1CE4E5B9)
+        v ^= v >> _U64(27)
+        v *= _U64(0x94D049BB133111EB)
+        v ^= v >> _U64(31)
+    return int(v)
