@@ -22,10 +22,23 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .hashing import splitmix64
 
 _LN2 = 0.6931471805599453
+
+
+def _drop_null_keys(t: pa.Table, key: str) -> pa.Table:
+    """Null keys never participate in referential checks (matching
+    ``groups._batch_key_counts`` semantics, which the bloom paths are
+    documented drop-in swaps for); they would also poison the vectorized
+    hash path — a null int64 column comes back from ``to_numpy`` as
+    float64 with NaN, breaking the uint64 view."""
+    col = t.column(key)
+    if col.null_count == 0:
+        return t
+    return t.filter(pc.is_valid(col))
 
 
 class Bloom:
@@ -68,6 +81,7 @@ def build_bloom(ds, key: str, n_items: int, fp_rate: float = 0.01) -> Bloom:
     m, k = proto.m, proto.k
 
     def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t, key)
         b = Bloom(n_items, fp_rate)
         assert (b.m, b.k) == (m, k)
         b.add(t.column(key).to_numpy(zero_copy_only=False))
@@ -105,6 +119,7 @@ def bloom_anti_join_counts(probe, dim, probe_key: str, dim_key: str,
     bloom_ref = ray.put(bloom)
 
     def split_batch(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t, probe_key)
         b = ray.get(bloom_ref)
         keys = t.column(probe_key).to_numpy(zero_copy_only=False)
         maybe = b.contains(keys)
@@ -135,6 +150,7 @@ def bloom_anti_join_counts(probe, dim, probe_key: str, dim_key: str,
         keys_ref = ray.put(cand_arr)
 
         def dim_hits(t: pa.Table) -> pa.Table:
+            t = _drop_null_keys(t, dim_key)
             ks = ray.get(keys_ref)
             v = t.column(dim_key).to_numpy(zero_copy_only=False)
             u = np.unique(v[np.isin(v, ks)])
@@ -169,6 +185,7 @@ def bloom_semi_join(probe, dim, probe_key: str, dim_key: str,
     bloom_ref = ray.put(bloom)
 
     def pass_bloom(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t, probe_key)
         b = ray.get(bloom_ref)
         keys = t.column(probe_key).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(b.contains(keys)))
@@ -179,6 +196,7 @@ def bloom_semi_join(probe, dim, probe_key: str, dim_key: str,
     cand_ref = ray.put(np.asarray(cand, dtype=np.int64))
 
     def dim_hits(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t, dim_key)
         ks = ray.get(cand_ref)
         v = t.column(dim_key).to_numpy(zero_copy_only=False)
         u = np.unique(v[np.isin(v, ks)])

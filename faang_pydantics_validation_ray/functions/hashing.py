@@ -67,6 +67,28 @@ except ImportError:  # pragma: no cover — private API moved; use slow path
     _hash_object_array = None
 
 
+def _fast_path_matches(s: str = "fpv-selfcheck-é") -> bool:
+    """One-time import-side check that the cython fast path (private pandas
+    API + hard-coded default key + re-implemented finalizer) still agrees
+    bit-for-bit with the public ``pd.util.hash_array``. An ImportError only
+    catches *relocation* of the private API; a semantic change in pandas'
+    key or finalizer would silently change every per-image RNG seed — this
+    catches that and falls back to the (slow but public) path."""
+    arr = np.array([s], dtype=object)
+    v = _U64(_hash_object_array(arr, "0123456789123456")[0])
+    with np.errstate(over="ignore"):
+        v ^= v >> _U64(30)
+        v *= _U64(0xBF58476D1CE4E5B9)
+        v ^= v >> _U64(27)
+        v *= _U64(0x94D049BB133111EB)
+        v ^= v >> _U64(31)
+    return int(v) == int(pd.util.hash_array(arr)[0])
+
+
+if _hash_object_array is not None and not _fast_path_matches():
+    _hash_object_array = None  # pragma: no cover — finalizer drifted
+
+
 def stable_str_hash(s: str) -> int:
     """Deterministic single-string → uint64 (for seeding per-image RNGs).
 

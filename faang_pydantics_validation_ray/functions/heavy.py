@@ -46,10 +46,23 @@ def heavy_hitters(ds, batch_tokens, k: int = 200,
     ``k >> 1/min_frac`` (asserted).
 
     Returns pandas (token, n) sorted by (n desc, token asc), EXACT counts.
+
+    Completeness: the reported counts are always exact, and the result is
+    COMPLETE (no heavy key missed) iff the threshold exceeds the MG
+    survival bound ``total/k``. With ``min_frac`` that bound is checked up
+    front (``k >= 4/min_frac``); with ``min_count`` only, the stream total
+    is unknown before the scan, so the bound is verified after pass 2 and
+    a too-small ``k`` raises instead of silently dropping heavy keys.
     """
     import ray
 
     from ray.data.aggregate import Sum
+
+    if min_frac is not None and k < 4 / min_frac:
+        raise ValueError(
+            f"k={k} too small for min_frac={min_frac}: keys below the MG "
+            f"survival bound (total/k) can be dropped in pass 1; need "
+            f"k >= {4 / min_frac:.0f}")
 
     def sketch(t: pa.Table) -> pa.Table:
         toks = batch_tokens(t)
@@ -62,12 +75,13 @@ def heavy_hitters(ds, batch_tokens, k: int = 200,
                          "n": pa.array(s.to_numpy(), type=pa.int64())})
 
     # driver merge of ≤ k-row partials; the exact stream total comes from
-    # pass 2's marker rows
+    # pass 2's marker rows. An EMPTY partial set does not short-circuit:
+    # a too-small k can shrink every batch sketch to nothing (all counters
+    # decremented away) — pass 2 must still run so the completeness guard
+    # below sees the true stream total instead of silently returning [].
     parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
-    if not len(parts):
-        return pd.DataFrame({"token": pd.array([], dtype="str"),
-                             "n": pd.array([], dtype="int64")})
-    merged = parts.groupby("token")["n"].sum()
+    merged = (parts.groupby("token")["n"].sum() if len(parts)
+              else pd.Series(dtype="int64"))
     cand = mg_merge(merged, k)
     cand_tokens = np.sort(np.asarray(cand.index, dtype=object))
     cand_ref = ray.put(pa.array(cand_tokens, type=pa.string()))
@@ -93,9 +107,17 @@ def heavy_hitters(ds, batch_tokens, k: int = 200,
     counts = (ex.groupby("token")["n"].sum().reset_index()
               if len(ex) else pd.DataFrame({"token": [], "n": []}))
     if min_frac is not None:
-        assert k >= 4 / min_frac, "k too small for the requested min_frac"
         min_count = max(min_count or 1, int(np.ceil(min_frac * total)))
     if min_count is not None:
+        # post-hoc completeness check for the min_count-only path: any key
+        # with true count > total/k survived pass 1, so min_count above that
+        # bound guarantees no heavy key was dropped
+        if min_count <= total / k:
+            raise ValueError(
+                f"k={k} cannot guarantee completeness for "
+                f"min_count={min_count} over a {total}-token stream: keys "
+                f"between min_count and total/k={total / k:.0f} may have "
+                f"been dropped in pass 1; rerun with k > {total // min_count}")
         counts = counts[counts["n"] >= min_count]
     counts["n"] = counts["n"].astype("int64")
     return (counts.sort_values(["n", "token"], ascending=[False, True])

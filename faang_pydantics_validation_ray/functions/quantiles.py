@@ -71,18 +71,38 @@ def _plateau(lo: float, hi: float) -> bool:
 def exact_group_quantiles(ds, group_col: str, val_col: str,
                           qs: tuple[float, ...] = (0.5, 0.95, 0.99),
                           fetch_cap: int = 8192,
-                          max_rounds: int = 20) -> pd.DataFrame:
+                          max_rounds: int = 20,
+                          materialize_cap_bytes: int | None = 8 << 30,
+                          ) -> pd.DataFrame:
     """→ DataFrame (group_col, q, value): the exact per-group discrete
     quantiles of ``val_col`` (nulls ignored)."""
     import ray
 
-    # materialize the narrow (group, value) stream ONCE: every refinement
-    # round re-scans it, and a lazy dataset would re-execute the parquet
-    # read + filter per round (measured ~1 s/scan of pure re-read overhead)
+    # materialize the narrow (group, value) stream ONCE when it fits the
+    # object store comfortably: every refinement round re-scans it, and a
+    # lazy dataset would re-execute the parquet read + filter per round
+    # (measured ~1 s/scan of pure re-read overhead). For huge inputs
+    # (estimate above the cap, or caller passed None… pinning/spilling the
+    # whole value column would be worse than re-reading) keep the lazy
+    # streaming path — each round is then one column-pruned re-scan.
+    if materialize_cap_bytes is not None:
+        try:
+            # metadata-only for an untransformed parquet read (the common
+            # call shape); a transformed input would execute its plan here,
+            # so estimate BEFORE attaching the projection. Conservative:
+            # the narrow stream is ≤ the input estimate.
+            est = ds.size_bytes()
+        except Exception:
+            est = None
+    else:
+        est = None
     ds = ds.map_batches(
         lambda t: t.select([group_col, val_col])
         .filter(pc.is_valid(t.column(val_col))),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
+    if est is not None and materialize_cap_bytes is not None \
+            and est <= materialize_cap_bytes:
+        ds = ds.materialize()
 
     # per-batch (group, n, lo, hi) partials + driver combine — the result
     # is one row per group; no per-key aggregate machinery needed

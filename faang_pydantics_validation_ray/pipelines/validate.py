@@ -158,12 +158,22 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, cpus - 2)
 
+    # which (key, cnt) partial namespaces pass 1 should emit: none when every
+    # counting rule is off (the partials are ~2 rows/image — the dominant row
+    # count of the event stream — and would have no consumer)
+    kc_cols = tuple(
+        c for c, need in (
+            ("image_id", opts.check_unique or
+             (captions_ds is not None and opts.check_referential)),
+            ("phash", opts.check_neardup)) if need)
+
     # ---- pass 1: heavy fused stage → small event stream (materialized once)
     events_all = images_ds.map_batches(
         ValidateImagesBatch,
         fn_constructor_kwargs=dict(exemplar_cap=opts.exemplar_cap,
                                    psnr_min=opts.psnr_min, decode=opts.decode,
-                                   seed=opts.seed, vocab=vocab),
+                                   seed=opts.seed, vocab=vocab,
+                                   key_count_cols=kc_cols),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=opts.batch_size, concurrency=concurrency, num_cpus=1,
     ).repartition(coalesce_blocks()).materialize()

@@ -56,13 +56,36 @@ def _events(rows: list[dict]) -> pa.Table:
     return pa.table(cols, schema=EVENT_SCHEMA)
 
 
+def _events_columnar(n: int, cols: dict) -> pa.Table:
+    """Build an EVENT_SCHEMA table from column arrays directly (no per-row
+    Python dicts — the dict path built ~1 object per cell and dominated the
+    event-assembly cost of bad batches). Missing fields are nulls."""
+    out = {}
+    for f in EVENT_SCHEMA:
+        a = cols.get(f.name)
+        if a is None:
+            out[f.name] = pa.nulls(n, type=f.type)
+        elif isinstance(a, pa.ChunkedArray):
+            out[f.name] = a.combine_chunks().cast(f.type)
+        elif isinstance(a, pa.Array):
+            out[f.name] = a.cast(f.type)
+        else:
+            out[f.name] = pa.array(a, type=f.type)
+    return pa.table(out, schema=EVENT_SCHEMA)
+
+
 class ValidateImagesBatch:
     def __init__(self, exemplar_cap: int = 50, psnr_min: float = 40.0,
                  decode: bool = True, seed: int = 42,
-                 ruleset: RuleSet | None = None, vocab=None):
+                 ruleset: RuleSet | None = None, vocab=None,
+                 key_count_cols: tuple = ("image_id", "phash")):
         self.exemplar_cap = exemplar_cap
         self.ruleset = ruleset or image_rules.build_image_ruleset(vocab=vocab)
         self.decoder = DecodeChecker(psnr_min=psnr_min, seed=seed) if decode else None
+        # which cross-record (key, cnt) partial namespaces to emit from this
+        # pass; () when every counting rule is disabled, so the event stream
+        # doesn't carry ~2 partial rows per input row for no consumer
+        self.key_count_cols = tuple(key_count_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -82,52 +105,69 @@ class ValidateImagesBatch:
                                     extra_findings=extra)
 
         parts = norm.column("partition_id").to_numpy(zero_copy_only=False)
-        out: list[dict] = []
+        tables: list[pa.Table] = []
 
-        # violation exemplars (carry the partition of their row)
+        # violation exemplars (carry the partition of their row) — columnar
         v = res.violations
-        vparts = parts[res.violation_idx] if len(res.violation_idx) else []
-        for i in range(v.num_rows):
-            out.append({"kind": "violation",
-                        "rule_id": v.column("rule_id")[i].as_py(),
-                        "image_id": v.column("image_id")[i].as_py(),
-                        "severity": v.column("severity")[i].as_py(),
-                        "field": v.column("field")[i].as_py(),
-                        "message": v.column("message")[i].as_py(),
-                        "partition_id": int(vparts[i]), "count": 1})
-        # exact per-rule counts
-        for rule_id, sev, cnt in res.rule_counts:
-            out.append({"kind": "rule_count", "rule_id": rule_id, "severity": sev,
-                        "count": int(cnt), "partition_id": -1})
-        # per-partition verdict partials + sketch partials
+        if v.num_rows:
+            vparts = (parts[res.violation_idx].astype(np.int32)
+                      if len(res.violation_idx)
+                      else np.full(v.num_rows, -1, dtype=np.int32))
+            tables.append(_events_columnar(v.num_rows, {
+                "kind": np.full(v.num_rows, "violation", dtype=object),
+                "rule_id": v.column("rule_id"),
+                "image_id": v.column("image_id"),
+                "severity": v.column("severity"),
+                "field": v.column("field"),
+                "message": v.column("message"),
+                "partition_id": vparts,
+                "count": np.ones(v.num_rows, dtype=np.int64)}))
+        # exact per-rule counts (one row per rule — tiny)
+        if res.rule_counts:
+            rids, sevs, cnts = zip(*res.rule_counts)
+            tables.append(_events_columnar(len(rids), {
+                "kind": np.full(len(rids), "rule_count", dtype=object),
+                "rule_id": list(rids), "severity": list(sevs),
+                "count": np.asarray(cnts, dtype=np.int64),
+                "partition_id": np.full(len(rids), -1, dtype=np.int32)}))
+        # per-partition verdict partials + sketch partials (usually one
+        # partition per batch — the loop is over partitions, not rows)
+        stat_rows: list[dict] = []
         for pid in np.unique(parts):
             pmask = parts == pid
             err = res.error_mask[pmask]
             warn = res.warning_mask[pmask]
-            out.append({"kind": "batch_stat", "partition_id": int(pid),
-                        "rows": int(pmask.sum()), "n_error_rows": int(err.sum()),
-                        "n_warn_only_rows": int((warn & ~err).sum())})
-            sub = norm.filter(pa.array(pmask))
+            stat_rows.append({"kind": "batch_stat", "partition_id": int(pid),
+                              "rows": int(pmask.sum()),
+                              "n_error_rows": int(err.sum()),
+                              "n_warn_only_rows": int((warn & ~err).sum())})
+            sub = norm.filter(pa.array(pmask)) if not pmask.all() else norm
             for colname in PROFILE_COLS:
                 if colname in sub.column_names:
                     prof = ColumnProfile().add_arrow(sub.column(colname))
-                    out.append({"kind": "sketch", "partition_id": int(pid),
-                                "col": colname, "sketch": prof.to_bytes()})
-        ev = _events(out)
-        kc = _key_count_events(batch)
-        return pa.concat_tables([ev, kc]) if kc.num_rows else ev
+                    stat_rows.append({"kind": "sketch", "partition_id": int(pid),
+                                      "col": colname, "sketch": prof.to_bytes()})
+        tables.append(_events(stat_rows))
+        if self.key_count_cols:
+            kc = _key_count_events(batch, self.key_count_cols)
+            if kc.num_rows:
+                tables.append(kc)
+        return pa.concat_tables(tables)
 
 
-def _key_count_events(batch: pa.Table) -> pa.Table:
+def _key_count_events(batch: pa.Table,
+                      cols: tuple = ("image_id", "phash")) -> pa.Table:
     """Per-batch combined (key, count) partials for the cross-record
     counting rules, emitted from the SAME pass that already holds every row
     — the separate narrow full-table scan the shuffle rules used to pay is
     gone. Keys use the fused namespaces (``i:<image_id>``, ``p:<phash>``)
     over the RAW batch values (pre-normalize — identical to what a narrow
-    parquet re-read would see). Vectorized: one Arrow group_by per key."""
+    parquet re-read would see). Vectorized: one Arrow group_by per key.
+    ``cols`` restricts which namespaces are emitted (callers with the
+    near-dup rule off skip the ``p:`` partials entirely)."""
     keys, counts = [], []
     for colname, prefix in (("image_id", "i"), ("phash", "p")):
-        if colname not in batch.column_names:
+        if colname not in batch.column_names or colname not in cols:
             continue
         c = _batch_key_counts(batch, colname)
         if c.num_rows == 0:

@@ -103,6 +103,21 @@ class TestBloom:
         assert dict(zip(out["k"], out["left_cnt"])) == {2: 2, 5: 1, 13: 1,
                                                         21: 1}
 
+    def test_null_keys_ignored_like_exact_path(self, ray_session):
+        # null probe/dim keys must be dropped (groups._batch_key_counts
+        # semantics); before the fix a nullable int64 key came back from
+        # to_numpy as float64+NaN and crashed the uint64 hash view
+        import ray.data as rd
+        probe = rd.from_arrow(pa.table({
+            "k": pa.array([1, None, 2, 3, None, 5], type=pa.int64())}))
+        dim = rd.from_arrow(pa.table({
+            "d": pa.array([1, None, 3], type=pa.int64())}))
+        out = bloom.bloom_anti_join_counts(probe, dim, "k", "d", n_dim_items=3)
+        assert dict(zip(out["k"], out["left_cnt"])) == {2: 1, 5: 1}
+        semi = (bloom.bloom_semi_join(probe, dim, "k", "d", n_dim_items=3)
+                .to_pandas())
+        assert sorted(semi["k"].tolist()) == [1, 3]
+
     def test_semi_join_matches_exact(self, ray_session):
         import ray.data as rd
         rng = np.random.default_rng(3)
@@ -170,6 +185,29 @@ class TestHeavyHitters:
         out = heavy.heavy_hitters(ds, bt, k=100, min_frac=0.04)
         got = dict(zip(out["token"], out["n"]))
         assert got == {"t0": 5000, "t1": 900}
+
+    def test_too_small_k_raises_up_front(self, ray_session):
+        from faang_pydantics_validation_ray.functions import heavy
+        with pytest.raises(ValueError, match="too small"):
+            heavy.heavy_hitters(None, None, k=10, min_frac=0.002)
+
+    def test_min_count_only_completeness_guard(self, ray_session):
+        # min_count below the MG survival bound total/k must raise loudly
+        # instead of silently dropping truly-heavy keys in pass 1
+        import ray.data as rd
+        from faang_pydantics_validation_ray.functions import heavy
+        docs = [" ".join(f"u{i}" for i in range(j * 50, (j + 1) * 50))
+                for j in range(40)]                      # 2000 distinct tokens
+        ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+
+        def bt(t: pa.Table) -> pa.Array:
+            import pyarrow.compute as pc
+            flat = pc.list_flatten(pc.split_pattern_regex(
+                pc.fill_null(t.column("text"), ""), r"\s+"))
+            return flat.filter(pc.not_equal(flat, ""))
+
+        with pytest.raises(ValueError, match="completeness"):
+            heavy.heavy_hitters(ds, bt, k=5, min_count=2)
 
 
 def test_approx_distinct_within_bound(ray_session):
