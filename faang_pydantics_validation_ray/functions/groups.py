@@ -329,23 +329,34 @@ def fused_counts_from_partials(own_tagged: "rd.Dataset",
     return dup, missing, near, external
 
 
-def collect_list_agg(col: str, name: str | None = None):
+def collect_list_agg(col: str, name: str | None = None,
+                     max_per_key: int = 10_000):
     """Distributed list-collection aggregate (A3 variant): gathers the
     group's ``col`` values into one list per key. Use ONLY where per-key
-    cardinality is bounded (e.g. captions per image); an unbounded hot key
-    would accumulate a single huge list."""
+    cardinality is bounded (e.g. captions per image) — ``max_per_key`` is a
+    hard bound that FAILS LOUDLY when a hot key exceeds it, instead of
+    silently ballooning one accumulator list until a worker OOMs."""
     import pandas as _pd
 
     from ray.data.aggregate import AggregateFn
 
+    def _check(acc: list) -> list:
+        if len(acc) > max_per_key:
+            raise ValueError(
+                f"collect_list_agg('{col}'): a key accumulated more than "
+                f"max_per_key={max_per_key} values — this aggregate is for "
+                f"bounded-cardinality keys only; pre-aggregate or raise the "
+                f"cap explicitly")
+        return acc
+
     def acc_block(acc: list, block) -> list:
         if isinstance(block, pa.Table):
-            return acc + block.column(col).to_pylist()
+            return _check(acc + block.column(col).to_pylist())
         if isinstance(block, _pd.DataFrame):
-            return acc + block[col].tolist()
-        return acc + [row[col] for row in block]
+            return _check(acc + block[col].tolist())
+        return _check(acc + [row[col] for row in block])
 
-    return AggregateFn(init=lambda k: [], merge=lambda a, b: a + b,
+    return AggregateFn(init=lambda k: [], merge=lambda a, b: _check(a + b),
                        accumulate_block=acc_block,
                        name=name or f"{col}_list")
 

@@ -213,6 +213,55 @@ def test_semdedup(ray_session):
     assert list(out.vec_id) == sorted(out.vec_id)
 
 
+def test_semdedup_hot_cluster_sharding(ray_session):
+    """A skewed (near-constant) cluster above max_cluster_size shards on a
+    deterministic id hash: per-task groups stay bounded, every shard keeps
+    exactly its lowest id (the documented cross-shard recall trade), and
+    clusters under the cap are untouched (bit-identical to unsharded)."""
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(2, 16))
+    hot = [(i, (base[0] + rng.normal(scale=1e-4, size=16)).tolist())
+           for i in range(400)]                      # one giant dup cluster
+    cold = [(1000 + i, (base[1] + rng.normal(scale=1e-4, size=16)).tolist())
+            for i in range(5)]
+    df = pd.DataFrame({"vec_id": [r[0] for r in hot + cold],
+                       "embedding": [r[1] for r in hot + cold]})
+    ds = rd.from_pandas(df).repartition(4)
+    cents = np.stack([base[0], base[1]])
+    out = dedup.semdedup(ds, cents, eps=0.95, max_cluster_size=64)
+    hot_out = out[out.cluster_id == 0]
+    n_shards = int(np.ceil(400 / 64))
+    # each shard keeps exactly one survivor (all members are near-identical)
+    assert hot_out.keep.sum() == n_shards
+    assert hot_out.loc[hot_out.keep == 1, "vec_id"].min() == 0
+    # cold cluster below the cap: identical to the unsharded result
+    cold_out = out[out.cluster_id == 1]
+    assert cold_out.keep.sum() == 1 and \
+        cold_out.loc[cold_out.keep == 1, "vec_id"].iloc[0] == 1000
+    # determinism: same input → same shard assignment → same survivors
+    out2 = dedup.semdedup(ds, cents, eps=0.95, max_cluster_size=64)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_semdedup_cap_not_binding_matches_unsharded(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(2, 16))
+    df = pd.DataFrame({
+        "vec_id": [10, 11, 20, 21],
+        "embedding": [list(map(float, v)) for v in
+                      (base[0], base[0] + rng.normal(scale=1e-3, size=16),
+                       base[1], -base[0])]})
+    ds = rd.from_pandas(df).repartition(2)
+    cents = np.stack([base[0], base[1]])
+    a = dedup.semdedup(ds, cents, eps=0.95)
+    b = dedup.semdedup(ds, cents, eps=0.95, max_cluster_size=100)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
 def test_ngram_jaccard_bounds():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("abcdefgh", "zyxwvuts") == 0.0
