@@ -1309,6 +1309,81 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_rules_part_ontology(sf_dir: str) -> pd.DataFrame:
+    """Ontology subclass-closure restriction (T4 graph semantics, reference
+    /root/reference/generic_validator_classes.py:27-64 applied at :277-301):
+    each part's p_brand must be a transitive descendant of the ontology
+    class its p_type links to (rules/ontology.py brand tree). The closure
+    is precomputed once on the driver (the OLS-prefetch analogue) and
+    broadcast into one vectorized is_in per batch; per-batch (type, brand,
+    cnt) violation partials combine driver-side (≤ 6×25 keys).
+    → (p_type, p_brand, cnt) of violating rows."""
+    from ..rules import ontology
+
+    pair_set = ontology.closure_pair_set(ontology.transitive_closure())
+    links = ontology.TYPE_ROOT_LINKS
+    lk = pa.array(sorted(links))
+    lv = pa.array([links[k] for k in sorted(links)])
+
+    def part_batch(t: pa.Table) -> pa.Table:
+        root = lv.take(pc.index_in(t.column("p_type"), value_set=lk))
+        bad = ontology.subclass_violation_mask(root, t.column("p_brand"),
+                                               pair_set)
+        sub = t.select(["p_type", "p_brand"]).filter(pa.array(bad))
+        if sub.num_rows == 0:
+            return pa.table({"p_type": pa.array([], type=pa.string()),
+                             "p_brand": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = sub.group_by(["p_type", "p_brand"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_type", "p_brand", "cnt"])
+
+    parts = (_read(sf_dir, "part", columns=["p_type", "p_brand"])
+             .map_batches(part_batch, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby(["p_type", "p_brand"], as_index=False)["cnt"].sum()
+           if len(parts) else
+           pd.DataFrame({"p_type": [], "p_brand": [], "cnt": []}))
+    out["cnt"] = out["cnt"].astype("int64")
+    return (out.sort_values(["p_type", "p_brand"])
+            .reset_index(drop=True))
+
+
+def _ontology_sql_values() -> tuple[str, str]:
+    """The SAME edge list and link table as rules/ontology.py, rendered as
+    SQL VALUES rows — the oracle recomputes the closure with WITH RECURSIVE,
+    so the transitive semantics (not just the flat pairs) are cross-checked."""
+    from ..rules import ontology
+    edges = ", ".join(f"('{p}', '{c}')"
+                      for p, c in ontology.BRAND_ONTOLOGY_EDGES)
+    links = ", ".join(f"('{k}', '{v}')"
+                      for k, v in sorted(ontology.TYPE_ROOT_LINKS.items()))
+    return edges, links
+
+
+def _sql_rules_part_ontology() -> str:
+    edges, links = _ontology_sql_values()
+    return f"""
+WITH RECURSIVE edges(parent, child) AS (VALUES {edges}),
+links(ptype, root) AS (VALUES {links}),
+closure(ancestor, descendant) AS (
+    SELECT parent, child FROM edges
+    UNION
+    SELECT c.ancestor, e.child FROM closure c
+    JOIN edges e ON e.parent = c.descendant
+)
+SELECT p.p_type, p.p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM part p JOIN links l ON p.p_type = l.ptype
+WHERE NOT EXISTS (
+    SELECT 1 FROM closure c
+    WHERE c.ancestor = l.root AND c.descendant = p.p_brand)
+  AND p.p_brand IS NOT NULL
+GROUP BY p.p_type, p.p_brand
+ORDER BY p.p_type, p.p_brand
+"""
+
+
+SQL_RULES_PART_ONTOLOGY = _sql_rules_part_ontology()
+
+
 def q_asof_events_orders(sf_dir: str) -> pd.DataFrame:
     """Backward as-of join (custom temporal operator, SURVEY §2.6 family):
     each event picks the SAME customer's most recent order at-or-before its
@@ -2552,6 +2627,7 @@ QUERIES = {
     # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
+    "rules_part_ontology": q_rules_part_ontology,
     "asof_events_orders": q_asof_events_orders,
     "range_join_lineitem_orders": q_range_join_lineitem_orders,
     "events_sliding_window": q_events_sliding_window,
@@ -2625,6 +2701,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "join_consistency": SQL_JOIN_CONSISTENCY,
     "compat_join": SQL_COMPAT_JOIN,
+    "rules_part_ontology": SQL_RULES_PART_ONTOLOGY,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "range_join_lineitem_orders": SQL_RANGE_JOIN_LINEITEM_ORDERS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,

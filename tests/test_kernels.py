@@ -113,3 +113,30 @@ def test_image_ruleset_end_to_end_batch():
     assert cnt[("normalize.fmt", "warning")] == 2
     # row masks: error rows ≥ sum of distinct error buckets
     assert res.error_mask.sum() >= 10
+
+
+def test_ontology_transitive_closure_and_mask():
+    """Subclass-closure membership (graph_restriction graft): transitive
+    reachability incl. self, shared subtrees, and the vectorized mask."""
+    import numpy as np
+    import pyarrow as pa
+    from faang_pydantics_validation_ray.rules import ontology
+
+    clo = ontology.transitive_closure()
+    # transitive: root reaches leaf brands through GRP nodes
+    assert ("ROOT#BUDGET", "Brand#1") in clo
+    assert ("ROOT#PREMIUM", "Brand#25") in clo
+    # shared subtree GRP#2 belongs to BOTH roots
+    assert ("ROOT#BUDGET", "Brand#12") in clo
+    assert ("ROOT#PREMIUM", "Brand#12") in clo
+    # restriction: premium-only brands NOT under budget and vice versa
+    assert ("ROOT#BUDGET", "Brand#20") not in clo
+    assert ("ROOT#PREMIUM", "Brand#3") not in clo
+    # include_self
+    assert ("GRP#1", "GRP#1") in clo and ("Brand#5", "Brand#5") in clo
+
+    ps = ontology.closure_pair_set(clo)
+    root = pa.array(["ROOT#BUDGET", "ROOT#BUDGET", "ROOT#PREMIUM", None])
+    term = pa.array(["Brand#3", "Brand#20", "Brand#20", "Brand#1"])
+    bad = ontology.subclass_violation_mask(root, term, ps)
+    assert bad.tolist() == [False, True, False, False]  # nulls pass
