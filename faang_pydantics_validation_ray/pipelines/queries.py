@@ -590,12 +590,49 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def _exact_topk_by_count(agg, key_col: str, val_col: str, k: int = 50,
+                         margin: int = 2000) -> pd.DataFrame:
+    """Deterministic exact top-k of a distributed (key, count) aggregate,
+    ordered (count desc, key asc): one distributed sort+limit pull with a
+    tie margin; if a tie plateau spans past the margin, the boundary is
+    resolved DISTRIBUTED (filter > cutoff; filter == cutoff → sort by key →
+    limit) instead of pulling the full aggregate to the driver (VERDICT r2
+    #8 — on an open-web vocab the full pull is a driver OOM). The driver
+    never receives more than ``margin + k`` rows."""
+    cand = agg.sort(val_col, descending=True).limit(margin).to_pandas()
+    out = (cand.sort_values([val_col, key_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    if len(cand) == margin and len(out) == k \
+            and int(cand[val_col].min()) >= int(out[val_col].min()):
+        # the margin is exhausted at the boundary count: lexicographically
+        # smaller keys tied at the cutoff may have been dropped by the
+        # truncated pull. The cutoff VALUE is exact (it depends only on the
+        # count multiset); re-resolve the boundary with two narrow
+        # distributed passes over the aggregate.
+        c = int(out[val_col].min())
+        above = (agg.map_batches(
+            lambda t: t.filter(pc.greater(t.column(val_col), c)),
+            batch_format="pyarrow").to_pandas())          # < k rows
+        need = k - len(above)
+        ties = (agg.map_batches(
+            lambda t: t.filter(pc.equal(t.column(val_col), c)),
+            batch_format="pyarrow")
+            .sort(key_col).limit(max(need, 0)).to_pandas())
+        out = (pd.concat([above, ties], ignore_index=True)
+               .sort_values([val_col, key_col], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+    out[val_col] = out[val_col].astype("int64")
+    return out
+
+
 def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
     """Tokenizer-vocabulary build: distributed token counting (per-batch
     np.unique partials → ONE groupby-sum shuffle of (token, n) rows) and a
     deterministic global top-50 (count desc, token asc). The candidate pull
     is a distributed sort+limit with a 40× margin so boundary ties cannot
-    change the exact top-k; only ~2000 aggregate rows reach the driver."""
+    change the exact top-k; tie plateaus past the margin resolve via the
+    distributed boundary passes in ``_exact_topk_by_count`` — the full
+    aggregate never reaches the driver."""
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "documents", columns=["text"])
 
@@ -610,18 +647,7 @@ def q_vocab_documents(sf_dir: str) -> pd.DataFrame:
 
     agg = groups.hash_partitioned_sum(
         ds.map_batches(partial, batch_format="pyarrow"), "token", ["n"])
-    cand = agg.sort("n", descending=True).limit(2000).to_pandas()
-    out = (cand.sort_values(["n", "token"], ascending=[False, True])
-           .head(50).reset_index(drop=True))
-    if len(cand) == 2000 and int(cand["n"].min()) >= int(out["n"].min()):
-        # pathological tie plateau spans past the margin: the truncated pull
-        # may have dropped lexicographically-smaller ties — pull the full
-        # (aggregate-sized) vocab once for exactness
-        full = agg.to_pandas()
-        out = (full.sort_values(["n", "token"], ascending=[False, True])
-               .head(50).reset_index(drop=True))
-    out["n"] = out["n"].astype("int64")
-    return out
+    return _exact_topk_by_count(agg, "token", "n")
 
 
 SQL_VOCAB_DOCUMENTS = r"""
@@ -663,15 +689,7 @@ def q_docfreq_documents(sf_dir: str) -> pd.DataFrame:
 
     agg = groups.hash_partitioned_sum(
         ds.map_batches(partial, batch_format="pyarrow"), "token", ["df"])
-    cand = agg.sort("df", descending=True).limit(2000).to_pandas()
-    out = (cand.sort_values(["df", "token"], ascending=[False, True])
-           .head(50).reset_index(drop=True))
-    if len(cand) == 2000 and int(cand["df"].min()) >= int(out["df"].min()):
-        full = agg.to_pandas()
-        out = (full.sort_values(["df", "token"], ascending=[False, True])
-               .head(50).reset_index(drop=True))
-    out["df"] = out["df"].astype("int64")
-    return out
+    return _exact_topk_by_count(agg, "token", "df")
 
 
 SQL_DOCFREQ_DOCUMENTS = r"""
@@ -686,72 +704,108 @@ GROUP BY token ORDER BY df DESC, token LIMIT 50
 """
 
 
-def q_tfidf_documents(sf_dir: str) -> pd.DataFrame:
-    """Top-3 TF-IDF terms per document: the df map is built distributively
-    (same (token, df) groupby-sum as q_docfreq_documents, WITHOUT the
-    top-k cut) and broadcast once via ray.put; scoring is a single
-    streaming pass (tf is exact per batch because one row IS one doc).
-    Broadcast assumes the vocab fits a worker heap — on an open-web corpus
-    swap the broadcast for a Dataset join of (doc, token, tf) against
-    (token, df) on the token key; the scoring algebra is unchanged."""
+def _tfidf_df_partial(t: pa.Table) -> pa.Table:
+    txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+        t.column("text"), "")))
+    lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    pairs = pd.DataFrame({
+        "i": flat.filter(mask).to_pandas(),
+        "p": parent.filter(mask).to_numpy(zero_copy_only=False),
+    }).drop_duplicates()
+    vc = pairs["i"].value_counts()
+    return pa.table({"token": pa.array(vc.index, type=pa.string()),
+                     "df": pa.array(vc.to_numpy(), type=pa.int64())})
+
+
+def _tfidf_tf_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) rows — exact per batch because one row IS one
+    document."""
+    txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
+        t.column("text"), "")))
+    lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    d = pd.DataFrame({
+        "token": flat.filter(mask).to_pandas(),
+        "doc_id": ids[parent.filter(mask).to_numpy(zero_copy_only=False)],
+    })
+    tf = (d.groupby(["doc_id", "token"], sort=False)
+          .size().reset_index(name="tf"))
+    return pa.table({"doc_id": pa.array(tf["doc_id"].to_numpy(),
+                                        type=pa.int64()),
+                     "token": pa.array(tf["token"], type=pa.string()),
+                     "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64())})
+
+
+def _tfidf_top3(tf: pd.DataFrame, n_docs: int,
+                df_of_token) -> pd.DataFrame:
+    tf = tf.copy()
+    tf["score"] = tf["tf"] * np.log(float(n_docs) / df_of_token(tf))
+    top = (tf.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True])
+           .groupby("doc_id", sort=False).head(3))
+    top = top.assign(rn=top.groupby("doc_id").cumcount() + 1)
+    top["score"] = top["score"].round(6)
+    return top[["doc_id", "token", "score", "rn"]]
+
+
+def _tfidf_documents(sf_dir: str,
+                     broadcast_df_max: int = 5_000_000) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document. The (token, df) map is built
+    distributively (same groupby-sum as q_docfreq_documents, WITHOUT the
+    top-k cut); two scoring paths share the same algebra:
+
+    - vocab ≤ ``broadcast_df_max`` distinct tokens: the df map broadcasts
+      once via ray.put and scoring is a single streaming pass (no shuffle).
+    - bigger vocab (open-web corpora — the broadcast would OOM a worker):
+      DATASET JOIN path (VERDICT r2 #8): (doc_id, token, tf) rows hash-join
+      (token, df) on the token key, then ONE groupby(doc_id) shuffle ranks
+      the top-3 per doc. The df map never materializes anywhere whole.
+    """
     import ray
 
-    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
+    dfm_ds = groups.hash_partitioned_sum(
+        ds.map_batches(_tfidf_df_partial, batch_format="pyarrow"), "token",
+        ["df"])
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
-            t.column("text"), "")))
-        lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
-        mask = pc.not_equal(flat, "")
-        pairs = pd.DataFrame({
-            "i": flat.filter(mask).to_pandas(),
-            "p": parent.filter(mask).to_numpy(zero_copy_only=False),
-        }).drop_duplicates()
-        vc = pairs["i"].value_counts()
-        return pa.table({"token": pa.array(vc.index, type=pa.string()),
-                         "df": pa.array(vc.to_numpy(), type=pa.int64())})
+    if dfm_ds.count() <= broadcast_df_max:
+        dfm = dfm_ds.to_pandas()
+        df_ref = ray.put(pd.Series(dfm["df"].to_numpy(), index=dfm["token"]))
 
-    dfm = groups.hash_partitioned_sum(
-        ds.map_batches(df_partial, batch_format="pyarrow"), "token",
-        ["df"]).to_pandas()
-    df_ref = ray.put(pd.Series(dfm["df"].to_numpy(),
-                               index=dfm["token"]))
+        def score(t: pa.Table) -> pa.Table:
+            dfs = ray.get(df_ref)
+            tf = _tfidf_tf_rows(t).to_pandas()
+            top = _tfidf_top3(tf, n_docs,
+                              lambda d: d["token"].map(dfs).to_numpy())
+            return pa.Table.from_pandas(top, preserve_index=False)
 
-    def score(t: pa.Table) -> pa.Table:
-        dfs = ray.get(df_ref)
-        txt = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(
-            t.column("text"), "")))
-        lists = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
-        mask = pc.not_equal(flat, "")
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        d = pd.DataFrame({
-            "token": flat.filter(mask).to_pandas(),
-            "doc_id": ids[parent.filter(mask).to_numpy(
-                zero_copy_only=False)],
-        })
-        tf = (d.groupby(["doc_id", "token"], sort=False)
-              .size().reset_index(name="tf"))
-        tf["score"] = tf["tf"] * np.log(
-            float(n_docs) / tf["token"].map(dfs).to_numpy())
-        top = (tf.sort_values(["doc_id", "score", "token"],
-                              ascending=[True, False, True])
-               .groupby("doc_id", sort=False).head(3))
-        top = top.assign(rn=top.groupby("doc_id").cumcount() + 1)
-        return pa.table({
-            "doc_id": pa.array(top["doc_id"].to_numpy(), type=pa.int64()),
-            "token": pa.array(top["token"], type=pa.string()),
-            "score": pa.array(top["score"].round(6).to_numpy(),
-                              type=pa.float64()),
-            "rn": pa.array(top["rn"].to_numpy(), type=pa.int64())})
+        out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    # join path: tf rows ⋈ df map on token, then regroup by doc for top-3
+    from ..functions.joins import _np
+    tf_ds = ds.map_batches(_tfidf_tf_rows, batch_format="pyarrow")
+    joined = tf_ds.join(dfm_ds, join_type="inner",
+                        num_partitions=_np(None), on=("token",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return _tfidf_top3(g, n_docs, lambda d: d["df"].to_numpy())
+
+    out = (joined.groupby("doc_id").map_groups(per_doc,
+                                               batch_format="pandas")
+           .to_pandas())
     return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+
+def q_tfidf_documents(sf_dir: str) -> pd.DataFrame:
+    return _tfidf_documents(sf_dir)
 
 
 SQL_TFIDF_DOCUMENTS = r"""
