@@ -57,6 +57,30 @@ def sniff_format(buf: bytes | None) -> str | None:
     return None
 
 
+_GEN_CACHE: dict = {}
+
+
+def _gen_consts(w: int, h: int):
+    """Per-(w,h) constants of gen_pixels — the gradient and the coarse-block
+    gather indices depend only on the dims, which repeat heavily across a
+    table; caching them removes two linspace calls + the index arithmetic
+    per image (identical values, measured ~10% of the decode-stage wall)."""
+    key = (w, h)
+    c = _GEN_CACHE.get(key)
+    if c is None:
+        gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        grad = 0.3 * ((gy + gx) / 2.0)
+        yi = np.arange(h) * 8 // h
+        xi = np.arange(w) * 8 // w
+        flat_idx = (yi[:, None] * 8 + xi[None, :]).ravel()
+        grad.setflags(write=False)
+        if len(_GEN_CACHE) > 4096:    # bound the cache (dims are few)
+            _GEN_CACHE.clear()
+        c = _GEN_CACHE[key] = (grad, flat_idx)
+    return c
+
+
 def gen_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Deterministic (image_id, seed) → H×W×3 uint8 pixels.
 
@@ -67,16 +91,15 @@ def gen_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     incompressible for the codec.
     """
     rng = np.random.default_rng((stable_str_hash(image_id) ^ seed) & 0xFFFFFFFFFFFFFFFF)
-    gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
-    gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
-    grad = (gy + gx) / 2.0
+    grad3, flat_idx = _gen_consts(w, h)
     coarse = rng.integers(0, 256, size=(8, 8)).astype(np.float32)
-    yi = np.arange(h) * 8 // h
-    xi = np.arange(w) * 8 // w
-    base = 0.3 * grad + 0.7 * coarse[yi][:, xi]
+    # base = 0.3*grad + 0.7*coarse[yi][:, xi], with the gather precomputed as
+    # one flat take (bit-identical: same float32 ops in the same order)
+    base = grad3 + (0.7 * coarse).take(flat_idx).reshape(h, w)
     noise = rng.integers(-40, 40, size=(h, w, 3), dtype=np.int16)
-    px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
-    return px
+    tmp = base[:, :, None] + noise           # float32 (h, w, 3)
+    np.clip(tmp, 0, 255, out=tmp)            # in place: skip one 12B/px temp
+    return tmp.astype(np.uint8)
 
 
 def encode(pixels: np.ndarray, fmt: str, jpeg_step: int = DEFAULT_JPEG_STEP) -> bytes:
@@ -125,10 +148,19 @@ def decode(buf: bytes) -> tuple[str, int, int, np.ndarray]:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays.
+
+    Integer-difference math: the int16 diff + int32 square touch 6 bytes per
+    pixel instead of the 16 the float64 path moved (this stage is memory-
+    bandwidth-bound at full actor-pool concurrency); sums of squares of
+    uint8 diffs are exact in float64, so the result is bit-identical."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    d = a.astype(np.int16)
+    d -= b
+    d32 = d.astype(np.int32)
+    d32 *= d32
+    mse = np.mean(d32)
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
@@ -142,12 +174,12 @@ def phash64(pixels: np.ndarray) -> int:
     ``reduceat`` (4× the per-row cost of the naive loop matters: this runs
     once per image in the decode stage's consistency check).
     """
-    gray = pixels.mean(axis=2)
+    # same float64 sum-then-/3.0 np.mean performs, minus its wrapper
+    gray = np.add.reduce(pixels, axis=2, dtype=np.float64)
+    gray /= 3.0
     h, w = gray.shape
     if h >= 8 and w >= 8:
-        ys = (np.arange(9) * h) // 8
-        xs = (np.arange(9) * w) // 8
-        counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        ys, xs, counts = _phash_consts(w, h)
         blocks = np.add.reduceat(np.add.reduceat(gray, ys[:-1], axis=0),
                                  xs[:-1], axis=1) / counts
     else:  # degenerate tiny images: per-block loop with clamped windows
@@ -158,6 +190,27 @@ def phash64(pixels: np.ndarray) -> int:
             rows = gray[ys[i]: max(ys[i + 1], ys[i] + 1)]
             for j in range(8):
                 blocks[i, j] = rows[:, xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > np.median(blocks)).ravel()
+    # median of the 64 block means without np.median's _ureduce ceremony
+    # (~40% of this function's wall): partition to the two middle order
+    # stats; (a + b) * 0.5 is exactly what np.median computes for even n
+    flat = np.partition(blocks.reshape(64), (31, 32))
+    med = (flat[31] + flat[32]) * 0.5
+    bits = (blocks > med).ravel()
     v = int(np.frombuffer(np.packbits(bits).tobytes(), dtype=">u8")[0])
     return v - (1 << 64) if v >= (1 << 63) else v  # store as int64 column
+
+
+_PHASH_CACHE: dict = {}
+
+
+def _phash_consts(w: int, h: int):
+    key = (w, h)
+    c = _PHASH_CACHE.get(key)
+    if c is None:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        counts = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        if len(_PHASH_CACHE) > 4096:
+            _PHASH_CACHE.clear()
+        c = _PHASH_CACHE[key] = (ys, xs, counts)
+    return c

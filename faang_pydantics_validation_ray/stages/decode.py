@@ -30,10 +30,38 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..imagetable import codec
 from ..rules.image_rules import range_valid_mask
 from ..rules.spec import Finding
+
+
+def _binary_views(col) -> list:
+    """Zero-copy per-row views of an Arrow binary column (memoryview slices
+    over the data buffer). ``to_pylist()`` copied every image payload into a
+    fresh Python bytes object — at full actor-pool concurrency that extra
+    pass over the heaviest column is pure memory-bandwidth waste; the
+    decoder (zlib/struct/sniff) accepts any buffer-protocol object."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return []
+    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                 else np.int32)
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + n + 1]
+    dbuf = arr.buffers()[2]
+    # cast to unsigned-char format: pyarrow buffers expose 'b' (signed), and
+    # memoryview == bytes compares VALUES per format — signed would break
+    # magic-number equality for any byte ≥ 0x80
+    mv = (memoryview(dbuf).cast("B") if dbuf is not None
+          else memoryview(b""))
+    if arr.null_count:
+        valid = np.asarray(pc.is_valid(arr))
+        return [mv[off[i]:off[i + 1]] if valid[i] else None
+                for i in range(n)]
+    return [mv[off[i]:off[i + 1]] for i in range(n)]
 
 
 # max Hamming distance between claimed and recomputed perceptual hash before
@@ -62,7 +90,7 @@ class DecodeChecker:
         phash_bad = np.zeros(n, dtype=bool)
 
         range_ok = range_valid_mask(t)
-        bufs = t.column("bytes").to_pylist()
+        bufs = _binary_views(t.column("bytes"))
         ids = t.column("image_id").to_pylist()
         ws = t.column("w").to_pylist()
         hs = t.column("h").to_pylist()
