@@ -191,8 +191,115 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def _scaled_docs(sf_dir: str, mult: int) -> str:
+    """Deterministic synthetic corpus for the minhash scaling legs (the
+    sf0.1 testdata corpus is 5k docs — floor-dominated at any cpu count).
+    ``mult`` × 5000 documents of zipf-ish tokens with a seeded 1% near-dup
+    rate (one lightly-mutated copy each), so candidate/verify work scales
+    linearly with the corpus instead of exploding quadratically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5000 * mult
+    out_dir = f"/tmp/fpv_docs/synth_n{n}"
+    f = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(f):
+        return out_dir
+    rng = np.random.default_rng(7)
+    vsize = 30_000
+    vocab = np.array([f"w{i}" for i in range(vsize)], dtype=object)
+    lens = rng.integers(80, 220, size=n)
+    idx = (rng.pareto(1.2, size=int(lens.sum())) * 50).astype(np.int64) % vsize
+    toks = vocab[idx]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(n)]
+    n_dup = n // 100
+    src = rng.choice(n, size=n_dup, replace=False)
+    dup_texts = ["zq " + texts[int(s)] for s in src]   # jaccard ≈ 0.99
+    all_texts = texts + dup_texts
+    ids = np.arange(len(all_texts), dtype=np.int64)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(all_texts, type=pa.string())}),
+                   tmp, row_group_size=20_000)
+    os.replace(tmp, f)
+    return out_dir
+
+
+def run_minhash_bench(docs_dir: str, num_cpus: int) -> dict:
+    """One minhash_neardup leg over the scaled documents table (median of
+    FPV_BENCH_RUNS timed runs after one warm-up)."""
+    import ray
+    import ray.data as rd
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    rd.DataContext.get_current().enable_progress_bars = False
+    from faang_pydantics_validation_ray.pipelines import queries as Q
+
+    rows = rd.read_parquet(f"{docs_dir}/documents.parquet",
+                           columns=["doc_id"]).count()
+    if not os.environ.get("RAY_GRAFT_NO_WARMUP"):
+        Q.QUERIES["minhash_neardup_documents"](docs_dir)
+    n_runs = int(os.environ.get("FPV_BENCH_RUNS", "1"))
+    times = []
+    pairs = 0
+    for _ in range(max(1, n_runs)):
+        t0 = time.perf_counter()
+        out = Q.QUERIES["minhash_neardup_documents"](docs_dir)
+        times.append(time.perf_counter() - t0)
+        pairs = len(out)
+    med = sorted(times)[len(times) // 2]
+    res = {"metric": "minhash_neardup_documents wall time",
+           "value": round(med, 3), "unit": "sec", "rows": rows,
+           "docs_per_sec": round(rows / med, 1), "num_cpus": num_cpus,
+           "verified_pairs": pairs,
+           "timed_runs": [round(x, 3) for x in times]}
+    ray.shutdown()
+    return res
+
+
+def run_minhash_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """8-vs-32 scaling legs for the most expensive non-flagship query
+    (VERDICT r2 #7): fresh process per leg, same scaled input."""
+    mult = int(os.environ.get("FPV_DOC_MULT", "40"))
+    docs_dir = _scaled_docs(sf_dir, mult)   # generate once, outside timing
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   FPV_DOC_MULT=str(mult),
+                   FPV_BENCH_RUNS=os.environ.get("FPV_BENCH_RUNS", "3"))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--minhash"], env=env, capture_output=True,
+                           text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": "minhash scaling efficiency (docs/sec at num_cpus "
+                  f"{lo} vs {hi}, fresh processes, same input, warmed)",
+        "rows": r_lo["rows"],
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3), "target": 0.8,
+        f"runs_{lo}": r_lo["timed_runs"], f"runs_{hi}": r_hi["timed_runs"],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling(
+            SF_DIR, lo=int(os.environ.get("FPV_SCALE_LO", "8")),
+            hi=int(os.environ.get("FPV_SCALE_HI", "32")))))
+    elif "--minhash-scaling" in sys.argv:
+        print(json.dumps(run_minhash_scaling(SF_DIR)))
+    elif "--minhash" in sys.argv:
+        mult = int(os.environ.get("FPV_DOC_MULT", "40"))
+        print(json.dumps(run_minhash_bench(_scaled_docs(SF_DIR, mult),
+                                           NUM_CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
