@@ -82,10 +82,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.read_parquet(f"{dirty}/images",
                     columns=["image_id"]).count()
 
-    # leave ≥2 slots for read/shuffle tasks: a pool equal to the session's
-    # full CPU count starves upstream reads and stalls (seen at num_cpus=4)
+    # Decode-pool sizing: a PROPORTIONAL fraction of the session's CPUs
+    # (default 3/4), not cpus-2. Two reasons: (a) a pool equal to the full
+    # CPU count starves upstream reads and stalls (seen at num_cpus=4);
+    # (b) the scaling harness compares N vs 4N cpus as the sandbox proxy for
+    # the north rule's N vs 4N NODE clusters — on a real cluster every node
+    # runs the same per-node actor count, so the faithful proxy must keep the
+    # actor ratio exactly 4x between legs (cpus-2 gave 2 vs 14 actors at
+    # 4 vs 16 cpus — a 7x ratio that makes the efficiency quotient
+    # meaningless; see BASELINE.md round-2 caveat).
+    frac = float(os.environ.get("FPV_POOL_FRAC", "0.75"))
     opts = ValidationOptions(batch_size=512,
-                             concurrency=max(2, num_cpus - 2))
+                             concurrency=max(2, round(num_cpus * frac)))
 
     def _flagship():
         return validate_images(
