@@ -210,35 +210,16 @@ def fused_cross_record_counts(narrow: "rd.Dataset",
     present in ``catalog_keys`` (downgraded severity at the caller); with no
     catalog it is empty and every unresolved ref lands in ``missing``.
     """
-    def _tagged_counts(t: pa.Table, key_src: str,
-                       prefix: str) -> tuple[pa.Array, pa.Array]:
-        c = _batch_key_counts(t, key_src)
-        # prefix literals are explicitly string-typed: pa.array([] ) is
-        # null-typed and binary_join_element_wise rejects (null, string)
-        keys = pc.binary_join_element_wise(
-            pa.array([prefix] * c.num_rows, type=pa.string()),
-            pc.cast(c.column(key_src), pa.string()).combine_chunks(), ":")
-        return keys, c.column("cnt").combine_chunks()
-
-    def _table(keys, own, cap, cat) -> pa.Table:
-        return pa.table({"key": keys, "own_cnt": own, "cap_cnt": cap,
-                         "cat_cnt": cat})
-
-    def _zeros(n: int) -> pa.Array:
-        return pa.array(np.zeros(n, dtype=np.int64))
-
     def img_partials(t: pa.Table) -> pa.Table:
-        ik, ic = _tagged_counts(t, id_col, "i")
-        pk, pcn = _tagged_counts(t, phash_col, "p")
-        keys = pa.concat_arrays([ik, pk])
-        cnts = pa.concat_arrays([ic, pcn])
-        return _table(keys, cnts, _zeros(len(keys)), _zeros(len(keys)))
+        return pa.concat_tables([
+            _hashed_batch_counts(t, id_col, NS_ID, "own_cnt"),
+            _hashed_batch_counts(t, phash_col, NS_PHASH, "own_cnt")])
 
-    tagged = narrow.map_batches(img_partials, batch_format="pyarrow")
-    return fused_counts_from_partials(tagged, captions_keys,
-                                      id_col=id_col, phash_col=phash_col,
-                                      min_count=min_count,
-                                      catalog_keys=catalog_keys)
+    own = narrow.map_batches(img_partials, batch_format="pyarrow")
+    return fused_counts_hashed(own, captions_keys, narrow,
+                               id_col=id_col, phash_col=phash_col,
+                               min_count=min_count,
+                               catalog_keys=catalog_keys)
 
 
 def fused_counts_from_partials(own_tagged: "rd.Dataset",
@@ -326,6 +307,167 @@ def fused_counts_from_partials(own_tagged: "rd.Dataset",
     near[phash_col] = pd.to_numeric(raw.loc[near.index]).astype("int64")
     near["cnt"] = near["own_cnt"]
     near = near[[phash_col, "cnt"]].reset_index(drop=True)
+    return dup, missing, near, external
+
+
+NS_ID, NS_PHASH = 0, 1     # key namespaces in the hashed fused exchange
+
+
+def _hashed_batch_counts(t: pa.Table, key_col: str, ns: int,
+                         slot: str) -> pa.Table:
+    """Per-batch combined (ns, kh, cnt) partials for the HASHED fused
+    exchange: string keys become their deterministic 64-bit SipHash
+    (functions/hashing.hash_column), integer keys (phash) pass through
+    raw — fixed-width rows instead of tagged strings, so the all-to-all
+    moves ~2.5× fewer bytes and the reducer groupby runs on int64, not
+    object dtype. ``slot`` names which count column this side fills
+    (own_cnt / cap_cnt / cat_cnt)."""
+    from .hashing import hash_column
+
+    c = _batch_key_counts(t, key_col)
+    n = c.num_rows
+    if n == 0:
+        return pa.table({"ns": pa.array([], type=pa.int8()),
+                         "kh": pa.array([], type=pa.int64()),
+                         "own_cnt": pa.array([], type=pa.int64()),
+                         "cap_cnt": pa.array([], type=pa.int64()),
+                         "cat_cnt": pa.array([], type=pa.int64())})
+    keys = c.column(key_col)
+    if pa.types.is_integer(keys.type):
+        kh = np.asarray(keys.cast(pa.int64())).astype(np.int64)
+    else:
+        kh = hash_column(keys).view(np.int64)
+    zero = np.zeros(n, dtype=np.int64)
+    cols = {"own_cnt": zero, "cap_cnt": zero, "cat_cnt": zero}
+    cols[slot] = np.asarray(c.column("cnt").cast(pa.int64()))
+    return pa.table({"ns": pa.array(np.full(n, ns, dtype=np.int8)),
+                     "kh": pa.array(kh), "own_cnt": pa.array(cols["own_cnt"]),
+                     "cap_cnt": pa.array(cols["cap_cnt"]),
+                     "cat_cnt": pa.array(cols["cat_cnt"])})
+
+
+def recover_exact_counts(ds: "rd.Dataset", key_col: str,
+                         hset: np.ndarray) -> pd.DataFrame:
+    """EXACT (key, cnt) for the keys of ``ds`` whose 64-bit hash lands in
+    ``hset`` — a broadcast sorted-hash-set filter pass (same shape as the
+    exemplar collector): per batch, hash the combined keys, keep members,
+    emit (key, partial) rows; the driver sums the aggregate-sized result.
+    Used to map hash-level candidates from the fused exchange back to real
+    keys: two distinct keys colliding into one candidate hash are re-counted
+    SEPARATELY here, so counting rules stay exact under collisions."""
+    import ray
+
+    ref = ray.put(np.sort(hset.view(np.uint64)))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        from .hashing import hash_column
+        c = _batch_key_counts(t, key_col)
+        if c.num_rows == 0:
+            return c
+        H = ray.get(ref)
+        kh = hash_column(c.column(key_col))
+        idx = np.searchsorted(H, kh)
+        m = (idx < len(H)) & (H[np.minimum(idx, len(H) - 1)] == kh)
+        return c.filter(pa.array(m))
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: [], "cnt": []})
+    return (parts.groupby(key_col, sort=False)["cnt"].sum().reset_index()
+            .astype({"cnt": "int64"}))
+
+
+def fused_counts_hashed(own_hashed: "rd.Dataset",
+                        captions_keys: "rd.Dataset | None",
+                        narrow: "rd.Dataset | None",
+                        id_col: str = "image_id",
+                        phash_col: str = "phash",
+                        min_count: int = 2,
+                        catalog_keys: "rd.Dataset | None" = None,
+                        num_partitions: int | None = None,
+                        ) -> tuple[pd.DataFrame, pd.DataFrame,
+                                   pd.DataFrame, pd.DataFrame]:
+    """The fused cross-record exchange over HASHED keys (ns:int8, kh:int64,
+    own/cap/cat partial counts) — all rows fixed-width, no strings cross the
+    all-to-all. Semantics match :func:`fused_counts_from_partials`:
+
+    - near-dup: phash keys ride raw in ``kh`` — counts are exact, no
+      recovery needed.
+    - uniqueness: hash-level candidates (own_cnt ≥ min_count) map back to
+      real image_ids via :func:`recover_exact_counts` over ``narrow`` — a
+      broadcast filter pass bounded by the candidate count; exact under
+      collisions (colliding keys are re-counted separately).
+    - referential / external-catalog: unresolved hashes (own 0, cap > 0)
+      recover their caption-side image_ids the same way from
+      ``captions_keys``. A truly-missing ref whose hash collides with ANY
+      present image key is silently resolved — probability ≈ n/2^64 per key
+      (≈5e-8 at 10^12 rows), the documented exactness bound of this path.
+
+    ``own_hashed`` rows: (ns, kh, own_cnt, cap_cnt, cat_cnt). When no
+    candidates survive the exchange, the recovery passes are skipped
+    entirely (zero extra scans on clean data)."""
+    from ..runtime import shuffle_partitions
+    from .hashing import splitmix64
+
+    P = num_partitions or shuffle_partitions()
+    tagged = own_hashed
+    if captions_keys is not None:
+        tagged = tagged.union(captions_keys.map_batches(
+            lambda t: _hashed_batch_counts(t, id_col, NS_ID, "cap_cnt"),
+            batch_format="pyarrow"))
+    if catalog_keys is not None:
+        tagged = tagged.union(catalog_keys.map_batches(
+            lambda t: _hashed_batch_counts(t, id_col, NS_ID, "cat_cnt"),
+            batch_format="pyarrow"))
+
+    def add_p(t: pa.Table) -> pa.Table:
+        h = splitmix64(np.asarray(t.column("kh").cast(pa.int64()))
+                       .view(np.uint64))
+        return t.append_column("_p", pa.array((h % P).astype(np.int64)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["ns", "kh"], sort=False)
+               [["own_cnt", "cap_cnt", "cat_cnt"]].sum().reset_index())
+        return out[(out["own_cnt"] >= min_count)
+                   | ((out["own_cnt"] == 0) & (out["cap_cnt"] > 0))]
+
+    interesting = (tagged.map_batches(add_p, batch_format="pyarrow")
+                   .groupby("_p").map_groups(combine, batch_format="pandas")
+                   .to_pandas())
+    empty = (pd.DataFrame({id_col: [], "cnt": []}),
+             pd.DataFrame({id_col: [], "left_cnt": []}),
+             pd.DataFrame({phash_col: [], "cnt": []}),
+             pd.DataFrame({id_col: [], "left_cnt": []}))
+    dup, missing, near, external = empty
+    if interesting.empty:
+        return dup, missing, near, external
+
+    ph = interesting[interesting["ns"] == NS_PHASH]
+    ph = ph[ph["own_cnt"] >= min_count]
+    near = pd.DataFrame({phash_col: ph["kh"].astype("int64").to_numpy(),
+                         "cnt": ph["own_cnt"].astype("int64").to_numpy()})
+
+    img = interesting[interesting["ns"] == NS_ID]
+    dup_h = img[img["own_cnt"] >= min_count]["kh"].to_numpy(np.int64)
+    if len(dup_h) and narrow is not None:
+        rec = recover_exact_counts(narrow, id_col, dup_h)
+        dup = (rec[rec["cnt"] >= min_count][[id_col, "cnt"]]
+               .reset_index(drop=True))
+
+    unresolved = img[(img["own_cnt"] == 0) & (img["cap_cnt"] > 0)]
+    miss_h = unresolved[unresolved["cat_cnt"] == 0]["kh"].to_numpy(np.int64)
+    ext_h = unresolved[unresolved["cat_cnt"] > 0]["kh"].to_numpy(np.int64)
+    if (len(miss_h) or len(ext_h)) and captions_keys is not None:
+        from .hashing import hash_column
+        rec = recover_exact_counts(
+            captions_keys, id_col, np.concatenate([miss_h, ext_h]))
+        if len(rec):
+            rh = hash_column(pa.array(rec[id_col])).view(np.int64)
+            in_miss = np.isin(rh, miss_h)
+            rec = rec.rename(columns={"cnt": "left_cnt"})
+            missing = rec[in_miss][[id_col, "left_cnt"]].reset_index(drop=True)
+            external = (rec[~in_miss][[id_col, "left_cnt"]]
+                        .reset_index(drop=True))
     return dup, missing, near, external
 
 

@@ -205,23 +205,31 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
             (captions_ds is not None and opts.check_referential):
         # own-side partials come FROM the pass-1 event stream (kind=
         # "key_count" rows emitted by the fused actor stage while it already
-        # held every row) — the shuffle rules pay no second full-table scan;
-        # narrow_ds is only consulted below for near-dup exemplar collection
+        # held every row) — the shuffle rules pay no second full-table scan.
+        # Keys cross the exchange as int64 hashes (see _key_count_events);
+        # narrow_ds is consulted below only for near-dup exemplar collection
+        # and for the exact recovery of duplicate-candidate image_ids (a
+        # broadcast filter pass that runs only when candidates exist).
         def _own_partials(t: pa.Table) -> pa.Table:
             sub = t.filter(pc.equal(t.column("kind"), "key_count"))
             n = sub.num_rows
+            ns = pc.if_else(pc.equal(sub.column("col"), "p"),
+                            pa.scalar(groups.NS_PHASH, type=pa.int8()),
+                            pa.scalar(groups.NS_ID, type=pa.int8()))
             zero = pa.array(np.zeros(n, dtype=np.int64))
-            return pa.table({"key": sub.column("key"),
+            return pa.table({"ns": ns,
+                             "kh": pc.cast(sub.column("kh"), pa.int64()),
                              "own_cnt": pc.cast(sub.column("count"),
                                                 pa.int64()),
                              "cap_cnt": zero, "cat_cnt": zero})
 
-        own_tagged = events_all.map_batches(_own_partials,
+        own_hashed = events_all.map_batches(_own_partials,
                                             batch_format="pyarrow")
-        dup, missing, near_cnt, external = groups.fused_counts_from_partials(
-            own_tagged,
+        dup, missing, near_cnt, external = groups.fused_counts_hashed(
+            own_hashed,
             captions_ds.select_columns(["image_id"])
             if captions_ds is not None and opts.check_referential else None,
+            narrow_ds,
             min_count=2,
             catalog_keys=catalog_ds.select_columns(["image_id"])
             if catalog_ds is not None and opts.check_referential else None)
@@ -370,6 +378,7 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     invalid = int(verd["n_error_rows"].sum())
     rel_errors = int((dup["cnt"].sum() if len(dup) else 0) +
                      (missing["left_cnt"].sum() if len(missing) else 0))
+    _mark("rule counts + verdict assembly")
     summary = {
         "total": total, "valid": total - invalid, "invalid": invalid,
         "warnings": int(verd["n_warn_only_rows"].sum()),

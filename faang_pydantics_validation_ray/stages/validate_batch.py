@@ -46,6 +46,10 @@ EVENT_SCHEMA = pa.schema([
     ("col", pa.string()),
     ("sketch", pa.binary()),
     ("key", pa.string()),
+    # 64-bit key hash for kind="key_count" partial rows (col carries the
+    # namespace: "i" image_id SipHash, "p" raw phash) — fixed-width keys
+    # through the fused cross-record exchange instead of tagged strings
+    ("kh", pa.int64()),
 ])
 
 PROFILE_COLS = ("w", "h", "byte_size", "phash")
@@ -157,39 +161,49 @@ class ValidateImagesBatch:
 
 def _key_count_events(batch: pa.Table,
                       cols: tuple = ("image_id", "phash")) -> pa.Table:
-    """Per-batch combined (key, count) partials for the cross-record
-    counting rules, emitted from the SAME pass that already holds every row
-    — the separate narrow full-table scan the shuffle rules used to pay is
-    gone. Keys use the fused namespaces (``i:<image_id>``, ``p:<phash>``)
-    over the RAW batch values (pre-normalize — identical to what a narrow
-    parquet re-read would see). Vectorized: one Arrow group_by per key.
-    ``cols`` restricts which namespaces are emitted (callers with the
-    near-dup rule off skip the ``p:`` partials entirely)."""
-    keys, counts = [], []
-    for colname, prefix in (("image_id", "i"), ("phash", "p")):
+    """Per-batch combined (kh, count) partials for the cross-record counting
+    rules, emitted from the SAME pass that already holds every row — the
+    separate narrow full-table scan the shuffle rules used to pay is gone.
+    Keys are HASHED (``col``="i": 64-bit SipHash of image_id; ``col``="p":
+    raw phash in ``kh``) over the RAW batch values (pre-normalize —
+    identical to what a narrow parquet re-read would see), so the fused
+    exchange moves fixed-width int64 rows; real keys for the tiny candidate
+    sets are recovered exactly by groups.recover_exact_counts. Vectorized:
+    one Arrow group_by + one vectorized hash per namespace. ``cols``
+    restricts which namespaces are emitted (callers with the near-dup rule
+    off skip the "p" partials entirely)."""
+    from ..functions.hashing import hash_column
+
+    ns_arr, kh_arr, counts = [], [], []
+    for colname, ns in (("image_id", "i"), ("phash", "p")):
         if colname not in batch.column_names or colname not in cols:
             continue
         c = _batch_key_counts(batch, colname)
         if c.num_rows == 0:
             continue
-        keys.append(pc.binary_join_element_wise(
-            pa.array([prefix] * c.num_rows, type=pa.string()),
-            pc.cast(c.column(colname), pa.string()).combine_chunks(), ":"))
-        counts.append(pc.cast(c.column("cnt"), pa.int64()).combine_chunks())
-    if not keys:
+        keys = c.column(colname)
+        if pa.types.is_integer(keys.type):
+            kh = np.asarray(keys.cast(pa.int64())).astype(np.int64)
+        else:
+            kh = hash_column(keys).view(np.int64)
+        ns_arr.append(np.full(c.num_rows, ns, dtype=object))
+        kh_arr.append(kh)
+        counts.append(np.asarray(c.column("cnt").cast(pa.int64())))
+    if not kh_arr:
         return _events([])
-    key_arr = pa.concat_arrays(keys)
-    n = len(key_arr)
-    cols = {}
+    n = sum(len(a) for a in kh_arr)
+    out = {}
     for f in EVENT_SCHEMA:
         if f.name == "kind":
-            cols[f.name] = pa.array(["key_count"] * n, type=pa.string())
-        elif f.name == "key":
-            cols[f.name] = key_arr
+            out[f.name] = pa.array(["key_count"] * n, type=pa.string())
+        elif f.name == "col":
+            out[f.name] = pa.array(np.concatenate(ns_arr), type=pa.string())
+        elif f.name == "kh":
+            out[f.name] = pa.array(np.concatenate(kh_arr))
         elif f.name == "count":
-            cols[f.name] = pa.concat_arrays(counts)
+            out[f.name] = pa.array(np.concatenate(counts))
         elif f.name == "partition_id":
-            cols[f.name] = pa.array(np.full(n, -1, dtype=np.int32))
+            out[f.name] = pa.array(np.full(n, -1, dtype=np.int32))
         else:
-            cols[f.name] = pa.nulls(n, type=f.type)
-    return pa.table(cols, schema=EVENT_SCHEMA)
+            out[f.name] = pa.nulls(n, type=f.type)
+    return pa.table(out, schema=EVENT_SCHEMA)

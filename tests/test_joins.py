@@ -84,6 +84,85 @@ def test_fused_counts_external_catalog(ray_session):
     assert near.set_index("phash")["cnt"].to_dict() == {1: 2}
 
 
+def test_recover_exact_counts_separates_collisions(ray_session):
+    """The hashed fused exchange stays EXACT under hash collisions because
+    hash-level candidates are re-counted per REAL key: a candidate set that
+    (as if by collision) contains the hash of a count-1 key must not turn
+    that key into a duplicate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions.groups import (
+        recover_exact_counts)
+    from faang_pydantics_validation_ray.functions.hashing import hash_column
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"image_id": ["A", "A", "B", "C", "C", "C"]}))
+    # candidate set = hashes of A (true dup), B (count 1 — as if a collision
+    # merged it with another key at the hash level), but NOT C
+    hset = hash_column(pa.array(["A", "B"])).view(np.int64)
+    rec = recover_exact_counts(ds, "image_id", hset)
+    got = rec.set_index("image_id")["cnt"].to_dict()
+    assert got == {"A": 2, "B": 1}          # exact per real key; C untouched
+    # the caller's >= min_count filter then drops B — no false duplicate
+    assert rec[rec["cnt"] >= 2]["image_id"].tolist() == ["A"]
+
+
+def test_fused_hashed_matches_string_path(ray_session):
+    """Parity: the hashed exchange (fused_cross_record_counts) returns the
+    same dup/missing/near/external sets as the legacy string-tagged partial
+    path over a seeded table with all four outcomes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions import groups
+
+    rng = np.random.default_rng(5)
+    ids = [f"img{i:04d}" for i in range(400)]
+    ids += ["img0007", "img0007", "img0011"]           # dups
+    ph = rng.integers(0, 50, size=len(ids))            # colliding phashes
+    ds = rd.from_pandas(pd.DataFrame(
+        {"image_id": ids, "phash": pd.array(ph, dtype="Int64")}))
+    caps = rd.from_pandas(pd.DataFrame(
+        {"image_id": ids[:100] + ["ghost1", "ghost1", "extcat"]}))
+    cat = rd.from_pandas(pd.DataFrame({"image_id": ["extcat", "unused"]}))
+
+    dup_h, miss_h, near_h, ext_h = groups.fused_cross_record_counts(
+        ds, caps, catalog_keys=cat)
+
+    def str_partials(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        outs = []
+        for colname, prefix in (("image_id", "i"), ("phash", "p")):
+            c = groups._batch_key_counts(t, colname)
+            keys = _pc.binary_join_element_wise(
+                _pa.array([prefix] * c.num_rows, type=_pa.string()),
+                _pc.cast(c.column(colname), _pa.string()).combine_chunks(),
+                ":")
+            zero = _pa.array(np.zeros(c.num_rows, dtype=np.int64))
+            outs.append(_pa.table({
+                "key": keys,
+                "own_cnt": _pc.cast(c.column("cnt"),
+                                    _pa.int64()).combine_chunks(),
+                "cap_cnt": zero, "cat_cnt": zero}))
+        return pa.concat_tables(outs)
+
+    tagged = ds.map_batches(str_partials, batch_format="pyarrow")
+    dup_s, miss_s, near_s, ext_s = groups.fused_counts_from_partials(
+        tagged, caps, catalog_keys=cat)
+
+    def cmp(a, b, key, val):
+        assert (a.set_index(key)[val].sort_index().to_dict()
+                == b.set_index(key)[val].sort_index().to_dict())
+
+    cmp(dup_h, dup_s, "image_id", "cnt")
+    cmp(miss_h, miss_s, "image_id", "left_cnt")
+    cmp(ext_h, ext_s, "image_id", "left_cnt")
+    near_s["phash"] = near_s["phash"].astype("int64")
+    cmp(near_h, near_s, "phash", "cnt")
+
+
 def test_asof_join_backward_with_tiebreak(ray_session):
     import ray.data as rd
     from faang_pydantics_validation_ray.functions.joins import asof_join
