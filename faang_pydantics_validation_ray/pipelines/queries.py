@@ -2634,7 +2634,19 @@ def q_approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES = {
-    # rule engine over TPC-H tables (DuckDB-verified)
+    # ordered so the driver's first-50 sample covers every oracle-backed
+    # family: flagship img_* oracles and the embedding suite lead, then
+    # the remaining DuckDB-verified queries; rows-only entries (no SQL
+    # oracle; pytest parity/bound tests instead) close the dict.
+    "img_scalar_counts": q_img_scalar_counts,
+    "img_cross_counts": q_img_cross_counts,
+    "img_rule_counts_truth": q_img_rule_counts_truth,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "embedding_neardup": q_embedding_neardup,
+    "cluster_embeddings": q_cluster_embeddings,
+    "ann_topk": q_ann_topk,
+    "rules_part_ontology": q_rules_part_ontology,
+    # remaining DuckDB-verified queries (original grouping order)
     "rules_orders": q_rules_orders,
     "rules_lineitem": q_rules_lineitem,
     "rules_customer": q_rules_customer,
@@ -2642,18 +2654,15 @@ QUERIES = {
     "rules_documents": q_rules_documents,
     "rules_embeddings": q_rules_embeddings,
     "unified_summary": q_unified_summary,
-    # aggregation / sort / window (DuckDB-verified)
     "q1_pricing": q1_pricing,
     "stats_lineitem": q_stats_lineitem,
     "events_window": q_events_window,
     "topk_orders": q_topk_orders,
-    # uniqueness / referential shuffles (DuckDB-verified)
     "unique_lineitem": q_unique_lineitem,
     "unique_orders": q_unique_orders,
     "ref_events_customer": q_ref_events_customer,
     "ref_orders_customer": q_ref_orders_customer,
     "ref_events_customer_bloom": q_ref_events_customer_bloom,
-    # documents ops (DuckDB-verified where expressible)
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_stats_documents": q_token_stats_documents,
     "quality_documents": q_quality_documents,
@@ -2661,7 +2670,6 @@ QUERIES = {
     "vocab_documents": q_vocab_documents,
     "docfreq_documents": q_docfreq_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
-    "approx_distinct_lineitem": q_approx_distinct_lineitem,
     "tfidf_documents": q_tfidf_documents,
     "split_documents": q_split_documents,
     "hist_lineitem": q_hist_lineitem,
@@ -2670,21 +2678,16 @@ QUERIES = {
     "rollup_orders": q_rollup_orders,
     "pivot_orders": q_pivot_orders,
     "stringagg_nation": q_stringagg_nation,
-    "fingerprint_documents": q_fingerprint_documents,
     "decontam_documents": q_decontam_documents,
     "repetition_documents": q_repetition_documents,
-    "minhash_neardup_documents": q_minhash_neardup_documents,
-    "simhash_neardup_documents": q_simhash_neardup_documents,
     "corpus_clean_documents": q_corpus_clean_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "lineclean_documents": q_lineclean_documents,
     "chunk_documents": q_chunk_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mix_documents": q_mix_documents,
-    # joins / distinct / sampling / export (DuckDB-verified)
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
-    "rules_part_ontology": q_rules_part_ontology,
     "asof_events_orders": q_asof_events_orders,
     "range_join_lineitem_orders": q_range_join_lineitem_orders,
     "events_sliding_window": q_events_sliding_window,
@@ -2698,20 +2701,15 @@ QUERIES = {
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
     "export_valid_orders": q_export_valid_orders,
-    # ANN / embedding near-dup
-    "ann_topk": q_ann_topk,
+    # rows-only (approximate / non-SQL-expressible; pytest-verified)
+    "approx_distinct_lineitem": q_approx_distinct_lineitem,
+    "fingerprint_documents": q_fingerprint_documents,
+    "minhash_neardup_documents": q_minhash_neardup_documents,
+    "simhash_neardup_documents": q_simhash_neardup_documents,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "cluster_embeddings": q_cluster_embeddings,
-    "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "semdedup_embeddings": q_semdedup_embeddings,
     "neardup_clusters_documents": q_neardup_clusters_documents,
-    # flagship image validation — oracle-verified over the generated parquet
-    "img_scalar_counts": q_img_scalar_counts,
-    "img_cross_counts": q_img_cross_counts,
-    "img_rule_counts_truth": q_img_rule_counts_truth,
-    # flagship image validation (rows-only: decode-dependent / composite)
     "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
     "img_verdicts": q_img_verdicts,
