@@ -985,6 +985,146 @@ GROUP BY h ORDER BY doc_id
 """
 
 
+def q_curate_documents(sf_dir: str) -> pd.DataFrame:
+    """Full training-corpus curation — the RefinedWeb/C4-shaped chain every
+    LLM data pipeline runs — composed as ONE streaming map pass plus ONE
+    dedup exchange: language filter (keep en) → quality filter (≥5 tokens,
+    punct ratio ≤ 0.2) → C4 line cleaning (drop lines under 3 words, drop
+    docs with nothing left) → benchmark decontamination (drop any doc whose
+    CLEANED text shares a word 4-gram with the held-out slice, doc_id%97==0,
+    which is excluded from the corpus) → exact dedup on the cleaned text
+    (min doc_id per content hash survives).
+
+    Scale shape: the benchmark gram set is the canonical broadcast small
+    side (``ray.put`` once, searchsorted per batch); every filter is
+    vectorized Arrow/numpy inside the same map stage, so a doc's text is
+    read exactly once and never crosses an exchange — only (doc_id,
+    content_hash) rows reach the groupby."""
+    import ray
+
+    from ..functions import clean
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = text.benchmark_ngram_hashes(
+        ds.map_batches(bench_side, batch_format="pyarrow"), n=4)
+    bref = ray.put(np.sort(np.asarray(bench, dtype=np.uint64)))
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "content_hash": pa.array([], type=pa.string())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 97 != 0))
+        if t.num_rows == 0:
+            return empty
+        t = t.filter(pc.equal(
+            text.langid_batch(t).column("detected_lang"), "en"))
+        if t.num_rows == 0:
+            return empty
+        s = text.text_stats_batch(t)
+        t = t.filter(pc.and_(pc.greater_equal(s.column("ws_tokens"), 5),
+                             pc.less_equal(s.column("punct_ratio"), 0.2)))
+        if t.num_rows == 0:
+            return empty
+        dirty = pc.replace_substring(pc.fill_null(t.column("text"), ""),
+                                     " table ", "\n")
+        c = clean.clean_lines_batch(
+            pa.table({"doc_id": t.column("doc_id"), "text": dirty}),
+            min_words=3)
+        c = c.filter(pc.greater(c.column("kept_lines"), 0))
+        if c.num_rows == 0:
+            return empty
+        b = ray.get(bref)
+        gh, gdoc = text.word_ngram_hashes(c.column("clean_text"), 4)
+        contaminated = np.zeros(c.num_rows, dtype=bool)
+        if len(b) and len(gh):
+            pos = np.searchsorted(b, gh)
+            hit = np.zeros(len(gh), dtype=bool)
+            inb = pos < len(b)
+            hit[inb] = b[pos[inb]] == gh[inb]
+            contaminated[np.unique(gdoc[hit])] = True
+        c = c.filter(pa.array(~contaminated))
+        out = pa.table({"doc_id": c.column("doc_id"),
+                        "text": c.column("clean_text")})
+        return dedup.add_md5_batch(out).select(["doc_id", "content_hash"])
+
+    from ray.data.aggregate import Min
+    survivors = (ds.map_batches(stage, batch_format="pyarrow")
+                 .groupby("content_hash")
+                 .aggregate(Min("doc_id", alias_name="doc_id")).to_pandas())
+    return (survivors[["doc_id"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# mirrors q_curate_documents stage by stage; the langid/quality/lineclean/
+# decontam fragments are the same (individually green) oracles composed
+SQL_CURATE_DOCUMENTS = r"""
+WITH bench_tok AS (
+  SELECT list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE doc_id % 97 = 0
+), bench AS (
+  SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+  FROM bench_tok, UNNEST(range(1, len(w)-2)) AS t(i)
+), corp AS (
+  SELECT doc_id, COALESCE(text, '') AS s,
+         GREATEST(CAST(len(regexp_extract_all(COALESCE(text, ''), '\s+'))
+                  AS DOUBLE) + 1.0, 1.0) AS wsn,
+         GREATEST(CAST(length(COALESCE(text, '')) AS DOUBLE), 1.0) AS chars
+  FROM documents WHERE doc_id % 97 <> 0
+), scored AS (
+  SELECT doc_id, s,
+    CAST(len(regexp_extract_all(s, '[\x{4e00}-\x{9fff}]')) AS DOUBLE)
+        / chars AS cjk,
+    CAST(len(regexp_extract_all(s, '(?i)\b(the|and|of|is|that|with|for)\b'))
+        AS DOUBLE) / wsn AS sc_en,
+    CAST(len(regexp_extract_all(s, '(?i)\b(der|die|und|das|nicht|ist|mit)\b'))
+        AS DOUBLE) / wsn AS sc_de,
+    CAST(len(regexp_extract_all(s, '(?i)\b(le|la|et|les|des|est|dans)\b'))
+        AS DOUBLE) / wsn AS sc_fr,
+    CAST(len(regexp_extract_all(s, '(?i)\b(el|los|las|es|una|para|con)\b'))
+        AS DOUBLE) / wsn AS sc_es
+  FROM corp
+), en AS (
+  SELECT doc_id, s FROM scored
+  WHERE cjk <= 0.2 AND GREATEST(sc_en, sc_de, sc_fr, sc_es) > 0.0
+    AND sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es
+), qual AS (
+  SELECT doc_id, s FROM (SELECT doc_id, s, trim(s) AS ts FROM en)
+  WHERE (CASE WHEN ts = '' THEN 0
+         ELSE len(regexp_split_to_array(ts, '\s+')) END) >= 5
+    AND (CASE WHEN length(ts) > 0
+         THEN len(regexp_extract_all(ts, '[[:punct:]]'))
+              / CAST(length(ts) AS DOUBLE) ELSE 0 END) <= 0.2
+), cl AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(list_filter(
+      string_split(replace(s, ' table ', chr(10)), chr(10)),
+      x -> len(regexp_extract_all(x, '\S+')) >= 3), chr(10)), '') AS ct,
+    len(list_filter(string_split(replace(s, ' table ', chr(10)), chr(10)),
+      x -> len(regexp_extract_all(x, '\S+')) >= 3)) AS kept
+  FROM qual
+), kept AS (
+  SELECT doc_id, ct FROM cl WHERE kept > 0
+), tg AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(ct), '\s+'),
+                                   x -> x <> '') AS w FROM kept),
+       UNNEST(range(1, len(w)-2)) AS t(i)
+), contaminated AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN bench ON tg.g = bench.g
+), fin AS (
+  SELECT doc_id, md5(ct) AS h FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM fin
+GROUP BY h ORDER BY doc_id
+"""
+
+
 def q_hist_lineitem(sf_dir: str) -> pd.DataFrame:
     """Fixed-width histogram of l_extendedprice (bucket width 5000), the
     distribution-profiling primitive behind the drift sketches: per-batch
@@ -2646,6 +2786,7 @@ QUERIES = {
     "cluster_embeddings": q_cluster_embeddings,
     "ann_topk": q_ann_topk,
     "rules_part_ontology": q_rules_part_ontology,
+    "curate_documents": q_curate_documents,
     # remaining DuckDB-verified queries (original grouping order)
     "rules_orders": q_rules_orders,
     "rules_lineitem": q_rules_lineitem,
@@ -2757,6 +2898,7 @@ ORACLES = {
     "join_consistency": SQL_JOIN_CONSISTENCY,
     "compat_join": SQL_COMPAT_JOIN,
     "rules_part_ontology": SQL_RULES_PART_ONTOLOGY,
+    "curate_documents": SQL_CURATE_DOCUMENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "range_join_lineitem_orders": SQL_RANGE_JOIN_LINEITEM_ORDERS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
