@@ -1299,6 +1299,54 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_json_props_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (the json_extract → typed-column op):
+    parse the integer field out of the flat-JSON ``props`` column with ONE
+    vectorized RE2 ``extract_regex`` per batch (no per-row json.loads),
+    emit per-batch (event_type, n/sum) combined partials, then one
+    aggregate-sized groupby — values never cross the exchange raw."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(t.column("props"), ""),
+                             r'"k"\s*:\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        sub = pa.table({"event_type": t.column("event_type"), "k": v})
+        g = sub.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n_k": pc.cast(g.column("k_count"), pa.int64()),
+                         "sum_k": pc.cast(pc.fill_null(g.column("k_sum"), 0),
+                                          pa.int64())})
+
+    out = (ds.map_batches(f, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_k", alias_name="n_k"),
+                      Sum("sum_k", alias_name="sum_k")).to_pandas())
+    out["n_k"] = out["n_k"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["avg_k"] = (out["sum_k"] / out["n_k"].clip(lower=1)).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSON_PROPS_EVENTS = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(COALESCE(props, ''),
+                                        '"k"\s*:\s*(-?\d+)', 1), '')
+                  AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       ROUND(COALESCE(SUM(k), 0) / CAST(GREATEST(COUNT(k), 1) AS DOUBLE), 6)
+           AS avg_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stringagg_nation(sf_dir: str) -> pd.DataFrame:
     """Ordered set-collection per group (SQL string_agg ... ORDER BY):
     dimension-table scale, one groupby + deterministic in-group sort."""
@@ -2787,6 +2835,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "rules_part_ontology": q_rules_part_ontology,
     "curate_documents": q_curate_documents,
+    "json_props_events": q_json_props_events,
     # remaining DuckDB-verified queries (original grouping order)
     "rules_orders": q_rules_orders,
     "rules_lineitem": q_rules_lineitem,
@@ -2899,6 +2948,7 @@ ORACLES = {
     "compat_join": SQL_COMPAT_JOIN,
     "rules_part_ontology": SQL_RULES_PART_ONTOLOGY,
     "curate_documents": SQL_CURATE_DOCUMENTS,
+    "json_props_events": SQL_JSON_PROPS_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "range_join_lineitem_orders": SQL_RANGE_JOIN_LINEITEM_ORDERS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
