@@ -342,26 +342,127 @@ def fetch_shingles_for_ids(ds, ids, id_col: str = "doc_id",
             for i, v in zip(sub[id_col], sub["sh"])}
 
 
+def fetch_signatures_for_ids(ds, ids, id_col: str = "doc_id",
+                             col: str = "text", k: int = 5,
+                             num_perm: int = 64,
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse lookup of each candidate doc's minhash SIGNATURE (num_perm
+    uint64), computed in workers during the filtered fetch pass — the
+    64-value signature is ~20× smaller than a doc's shingle set, so the
+    broadcast side of signature-level pair filtering stays tiny. Returns
+    (sorted id array, matrix[len(ids), num_perm]) aligned row-for-row."""
+    import ray
+
+    ids = sorted(set(ids))
+    if not ids:
+        return np.empty(0, dtype=np.int64), np.empty((0, num_perm),
+                                                     dtype=np.uint64)
+    wref = ray.put(pa.array(ids))
+    hasher = MinHasher(num_perm)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        m = pc.is_in(t.column(id_col), value_set=w.cast(t.column(id_col).type))
+        t = t.filter(pc.fill_null(m, False))
+        texts = pc.utf8_lower(pc.fill_null(t.column(col), ""))
+        sh, ptr = _window_hashes(texts, k)
+        sigs = hasher.signatures_batch(sh, ptr)
+        return pa.table({id_col: t.column(id_col),
+                         "sig": pa.FixedSizeListArray.from_arrays(
+                             pa.array(sigs.ravel().view(np.int64)), num_perm)})
+
+    sub = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    order = np.argsort(sub[id_col].to_numpy())
+    sid = sub[id_col].to_numpy()[order]
+    mat = np.stack(sub["sig"].to_numpy()[order]).view(np.uint64) \
+        if len(sub) else np.empty((0, num_perm), dtype=np.uint64)
+    return sid, mat.reshape(len(sub), num_perm)
+
+
 def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
                                   id_col: str = "doc_id", col: str = "text",
                                   threshold: float = 0.8, k: int = 5,
-                                  ) -> pd.DataFrame:
+                                  star_cap: int = 64,
+                                  sig_margin: float = 0.2,
+                                  sig_min_pairs: int = 4096) -> pd.DataFrame:
     """Distributed near-dup verification: candidate pairs (aggregate-sized)
     are re-dispatched as a Dataset; each worker batch fetches the sparse
     candidate-SHINGLE map from the object store (broadcast once; each doc
     shingled once total via :func:`fetch_shingles_for_ids`) and computes
-    exact set Jaccard by sorted-array intersection — same value as
-    ``ngram_jaccard`` without re-hashing text per pair. No full-corpus
-    driver materialization anywhere.
+    exact set Jaccard — same value as ``ngram_jaccard`` without re-hashing
+    text per pair. No full-corpus driver materialization anywhere.
+
+    Skew mitigation (the north rule's hot-bucket case): a bucket with m
+    members expands to m(m-1)/2 pairs — a single hot LSH bucket on a
+    zipf-ish corpus produced 249k pairs from 706 members, 5.3M pairs total
+    from 40k docs. Buckets larger than ``star_cap`` are STAR-expanded
+    (every member paired with the bucket's min id only): linear edges, so
+    union-find cluster connectivity through the hub is preserved while the
+    pair list stays corpus-linear. Pairs that co-occur ONLY inside
+    oversized buckets and don't involve the hub are the documented recall
+    trade (a true near-dup pair at LSH threshold collides in ~every band,
+    so it is normally also seen in a small bucket). ``star_cap=None``
+    disables capping (exact full expansion).
+
+    Pair filtering is two-phase (the production shape — signature first,
+    shingles last): every expanded pair is first scored by its minhash
+    SIGNATURE similarity (fraction of equal values over num_perm
+    permutations — an unbiased Jaccard estimate computed by pure numpy
+    row comparison over a broadcast (id, signature) matrix); only pairs
+    with estimate ≥ threshold − ``sig_margin`` reach exact shingle-set
+    verification. On a zipf corpus this kills ~99.9% of false candidates
+    for ~1s of matrix compares. Recall bound (Hoeffding, 64 perms,
+    margin 0.2): a TRUE pair at exactly the threshold is missed with
+    p ≤ exp(−2·64·0.2²) ≈ 0.6%; near-exact dups (j≈1) are never missed.
+    ``sig_margin=None`` disables the prefilter (fully exact).
+
+    Exact verification is vectorized per batch: one lexsort over the
+    concatenated shingle arrays of ~4k pairs counts each pair's
+    intersection by adjacent-equality — no per-pair Python set work.
     → (id_a, id_b, jaccard) sorted, jaccard ≥ threshold."""
     import ray
     import ray.data as rd
 
-    pairs = sorted({(a, b) for ids in candidates_df.get("ids", [])
-                    for a, b in combinations(sorted(set(ids)), 2)})
+    pair_set = set()
+    for ids in candidates_df.get("ids", []):
+        uniq = sorted(set(ids))
+        if star_cap is not None and len(uniq) > star_cap:
+            hub = uniq[0]
+            pair_set.update((hub, x) for x in uniq[1:])
+        else:
+            pair_set.update(combinations(uniq, 2))
+    pairs = sorted(pair_set)
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     if not pairs:
         return empty
+
+    if sig_margin is not None and len(pairs) > sig_min_pairs:
+        sid, smat = fetch_signatures_for_ids(
+            ds, {x for p in pairs for x in p}, id_col, col, k)
+        sref = ray.put((sid, smat))
+        cutoff = max(0.0, threshold - sig_margin)
+
+        def sig_filter(t: pa.Table) -> pa.Table:
+            ids_s, mat = ray.get(sref)
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            if np.issubdtype(ids_s.dtype, np.number):
+                ia = np.searchsorted(ids_s, a)
+                ib = np.searchsorted(ids_s, b)
+            else:
+                pos = {v: i for i, v in enumerate(ids_s)}
+                ia = np.fromiter((pos[x] for x in a), np.int64, len(a))
+                ib = np.fromiter((pos[x] for x in b), np.int64, len(b))
+            est = (mat[ia] == mat[ib]).mean(axis=1)
+            return t.filter(pa.array(est >= cutoff))
+
+        pre = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+        kept = pre.map_batches(sig_filter, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        pairs = list(kept.itertuples(index=False, name=None))
+        if not pairs:
+            return empty
+
     shingles = fetch_shingles_for_ids(
         ds, {x for p in pairs for x in p}, id_col, col, k)
     tref = ray.put(shingles)
@@ -370,24 +471,31 @@ def verify_candidates_distributed(ds, candidates_df: pd.DataFrame,
         lookup = ray.get(tref)
         a_l = t.column("id_a").to_pylist()
         b_l = t.column("id_b").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(a_l, b_l):
-            sa, sb = lookup[a], lookup[b]
-            union = len(sa) + len(sb)
-            if union == 0:
-                j = 1.0
-            else:
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                j = inter / (union - inter)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 4))
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        n = len(a_l)
+        la = np.fromiter((len(lookup[a]) for a in a_l), np.int64, n)
+        lb = np.fromiter((len(lookup[b]) for b in b_l), np.int64, n)
+        tot = la + lb
+        if int(tot.sum()):
+            vals = np.concatenate(
+                [s for a, b in zip(a_l, b_l) for s in (lookup[a], lookup[b])])
+            pid = np.repeat(np.arange(n, dtype=np.int64), tot)
+            order = np.lexsort((vals, pid))
+            v, p = vals[order], pid[order]
+            dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+            inter = np.bincount(p[1:][dup], minlength=n).astype(np.float64)
+        else:
+            inter = np.zeros(n, dtype=np.float64)
+        union = tot - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": pa.array([a for a, m in zip(a_l, keep) if m]),
+            "id_b": pa.array([b for b, m in zip(b_l, keep) if m]),
+            "jaccard": pa.array(np.round(j[keep], 4), type=pa.float64())})
 
     pairs_ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
-    out = pairs_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = pairs_ds.map_batches(verify, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -446,3 +446,61 @@ def test_video_frame_sample_stage(ray_session):
     assert sorted(out[out.video_id == "v0"].frame_idx) == [0, 2, 4]
     assert (out.w == 8).all() and (out.h == 8).all()
     assert out.mean_luma.between(0, 255).all()
+
+
+def test_verify_star_cap_bounds_hot_bucket_pairs(ray_session):
+    """Skew mitigation: a bucket over star_cap expands to m-1 hub edges,
+    not m(m-1)/2 pairs, and exact duplicates of the hub still verify."""
+    import ray.data as rd
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    n = 30
+    texts = [base] * n                          # all identical → j = 1.0
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                                      "text": texts}))
+    cand = pd.DataFrame({"band_id": [0], "band_hash": [1],
+                         "ids": [list(range(n))]})
+    out = dedup.verify_candidates_distributed(ds, cand, threshold=0.8,
+                                              star_cap=8)
+    # star expansion: hub 0 vs every other id, all exact dups
+    assert len(out) == n - 1
+    assert (out["id_a"] == 0).all()
+    assert (out["jaccard"] == 1.0).all()
+    full = dedup.verify_candidates_distributed(ds, cand, threshold=0.8,
+                                               star_cap=None)
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_verify_signature_prefilter_parity(ray_session):
+    """The signature prefilter (forced via sig_min_pairs=0) returns the
+    same verified pairs as the exact path on seeded dups + noise docs."""
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"tok{i}" for i in range(500)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(120)]
+    texts += ["zq " + texts[i] for i in range(10)]      # 10 near-dups
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    cand = dedup.minhash_lsh_candidates(ds)
+    exact = dedup.verify_candidates_distributed(ds, cand, threshold=0.6,
+                                                sig_margin=None)
+    pre = dedup.verify_candidates_distributed(ds, cand, threshold=0.6,
+                                              sig_margin=0.2,
+                                              sig_min_pairs=0)
+    assert len(exact) >= 10
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  pre.reset_index(drop=True))
+
+
+def test_fetch_signatures_matches_minhasher(ray_session):
+    import ray.data as rd
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs", ""]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([5, 9, 2], dtype=np.int64), "text": texts}))
+    sid, mat = dedup.fetch_signatures_for_ids(ds, [5, 9, 2])
+    assert sid.tolist() == [2, 5, 9]
+    h = dedup.MinHasher(64)
+    for want_id, text in zip([5, 9, 2], texts):
+        sh = dedup._shingle_hashes(text.lower(), 5)
+        row = mat[np.searchsorted(sid, want_id)]
+        assert (row == h.signature(np.asarray(sh, dtype=np.uint64))).all()
