@@ -134,13 +134,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     violation_rows = int(res.rule_counts["count"].sum())
 
     qtimes: dict[str, float] = {"flagship_validate": round(headline, 3)}
-    for qname in ("rules_lineitem", "q1_pricing", "unique_lineitem",
-                  "ref_events_customer", "dedup_exact_documents",
-                  "token_stats_documents", "ann_topk",
-                  "minhash_neardup_documents", "simhash_neardup_documents",
-                  "asof_events_orders", "vocab_documents",
-                  "cluster_embeddings", "docfreq_documents",
-                  "quantiles_lineitem", "tfidf_documents"):
+    # scaling legs time ONLY the flagship — the per-query sweep below is the
+    # per-round headline's job and just burns minutes at low cpu counts
+    extra_queries = () if os.environ.get("FPV_SKIP_QUERIES") else (
+        "rules_lineitem", "q1_pricing", "unique_lineitem",
+        "ref_events_customer", "dedup_exact_documents",
+        "token_stats_documents", "ann_topk",
+        "minhash_neardup_documents", "simhash_neardup_documents",
+        "asof_events_orders", "vocab_documents",
+        "cluster_embeddings", "docfreq_documents",
+        "quantiles_lineitem", "tfidf_documents", "curate_documents",
+        "json_props_events")
+    for qname in extra_queries:
         tq = time.perf_counter()
         Q.QUERIES[qname](sf_dir)
         qtimes[qname] = round(time.perf_counter() - tq, 3)
@@ -174,7 +179,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    FPV_N_MULT=os.environ.get("FPV_N_MULT", "16"),
-                   FPV_BENCH_RUNS=os.environ.get("FPV_BENCH_RUNS", "3"))
+                   FPV_BENCH_RUNS=os.environ.get("FPV_BENCH_RUNS", "3"),
+                   FPV_SKIP_QUERIES="1")
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
