@@ -273,31 +273,44 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
 
     _mark("violations assembly")
 
-    # ---- verdict partials
-    stats = _filter_kind(events, "batch_stat").to_pandas()
+    # ---- verdict partials + sketch merge + rule-count partials: ONE scan.
+    # The core event stream's BYTES are dominated by the multi-KB sketch
+    # blobs; scanning it once per consumer (batch_stat, sketch, rule_count —
+    # three passes) re-read them every time and cost ~20 s/leg at 6.4M rows.
+    # A single map_batches pass block-merges the sketches (per-BLOCK merge,
+    # no shuffle of blobs) and passes the tiny batch_stat/rule_count rows
+    # through, so the driver pull is aggregate-sized: merged sketches are
+    # ≤ #blocks × #partitions × #cols rows, stats/rule partials are ~rows/
+    # batch_size.
+    _AGG_COLS = ["kind", "rule_id", "severity", "partition_id", "count",
+                 "rows", "n_error_rows", "n_warn_only_rows", "col", "sketch"]
+
+    def _agg_pass(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["kind"].isin(("batch_stat", "rule_count"))][_AGG_COLS]
+        sk_g = g[g["kind"] == "sketch"]
+        if not len(sk_g):
+            return keep
+        out = []
+        for (pid, colname), rows in sk_g.groupby(["partition_id", "col"],
+                                                 sort=True):
+            prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
+            for b in rows["sketch"].iloc[1:]:
+                prof.merge(ColumnProfile.from_bytes(b))
+            out.append(("sketch", None, None, pid, None, None, None, None,
+                        colname, prof.to_bytes()))
+        return pd.concat(
+            [keep, pd.DataFrame(out, columns=_AGG_COLS)], ignore_index=True)
+
+    agg = events.map_batches(_agg_pass, batch_format="pandas").to_pandas()
+    # mixed-kind concat floats the numeric partials; restore exact ints
+    stats = agg[agg["kind"] == "batch_stat"].astype(
+        {"rows": "int64", "n_error_rows": "int64", "n_warn_only_rows": "int64"})
     per_part = (stats.groupby("partition_id")[["rows", "n_error_rows",
                                                "n_warn_only_rows"]].sum()
                 if len(stats) else
                 pd.DataFrame(columns=["rows", "n_error_rows", "n_warn_only_rows"]))
 
-    # ---- merge sketches per (partition, col): per-BLOCK pre-merge (no
-    # shuffle of multi-KB sketch blobs — the old groupby sorted hundreds of
-    # MB of binary rows and scaled NEGATIVELY with cpus), then a tiny,
-    # deterministic driver merge over ≤ #blocks × #partitions × #cols rows
-    def _block_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["partition_id", "col"], kind="mergesort")
-        out = []
-        for (pid, colname), rows in g.groupby(["partition_id", "col"],
-                                              sort=True):
-            prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
-            for b in rows["sketch"].iloc[1:]:
-                prof.merge(ColumnProfile.from_bytes(b))
-            out.append((pid, colname, prof.to_bytes()))
-        return pd.DataFrame(out, columns=["partition_id", "col", "sketch"])
-
-    sk_parts = (_filter_kind(events, "sketch")
-                .select_columns(["partition_id", "col", "sketch"])
-                .map_batches(_block_merge, batch_format="pandas").to_pandas())
+    sk_parts = agg[agg["kind"] == "sketch"]
     sk_rows = []
     for (pid, colname), rows in sk_parts.groupby(["partition_id", "col"],
                                                  sort=True):
@@ -342,8 +355,9 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
     violations = violations.sort_by([(f.name, "ascending")
                                      for f in VIOLATION_SCHEMA])
 
-    # ---- rule counts (exact)
-    rc = _filter_kind(events, "rule_count").to_pandas()
+    # ---- rule counts (exact) — partials already pulled by the single
+    # aggregate scan above
+    rc = agg[agg["kind"] == "rule_count"].astype({"count": "int64"})
     rc_df = (rc.groupby(["rule_id", "severity"])["count"].sum().reset_index()
              if len(rc) else pd.DataFrame(columns=["rule_id", "severity", "count"]))
     extra_counts = []
