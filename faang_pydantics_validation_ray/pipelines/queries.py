@@ -932,12 +932,13 @@ GROUP BY train.doc_id ORDER BY train.doc_id
 
 
 def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup pairs, fully distributed: candidate texts are
-    fetched via a broadcast-id filtered pass (bounded by candidate count) and
-    pairs verified in workers — no full-corpus driver materialization."""
+    """MinHash-LSH near-dup pairs, fully distributed end-to-end: banding,
+    colliding-bucket collection, star-capped pair expansion, pair dedup,
+    signature prefilter and exact verification all run as Dataset stages —
+    only aggregate-sized data (bucket keys, candidate signatures, surviving
+    pairs) reaches the driver. See dedup.minhash_near_dups_distributed."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = dedup.minhash_lsh_candidates(ds)
-    return dedup.verify_candidates_distributed(ds, cand, threshold=0.6)
+    return dedup.minhash_near_dups_distributed(ds, threshold=0.6)
 
 
 def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:

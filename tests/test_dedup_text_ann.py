@@ -504,3 +504,24 @@ def test_fetch_signatures_matches_minhasher(ray_session):
         sh = dedup._shingle_hashes(text.lower(), 5)
         row = mat[np.searchsorted(sid, want_id)]
         assert (row == h.signature(np.asarray(sh, dtype=np.uint64))).all()
+
+
+def test_minhash_distributed_matches_driver_path(ray_session):
+    """The fully-distributed minhash pipeline (bucket collection, pair
+    expansion, dedup, prefilter all as Dataset stages) returns exactly the
+    pairs of the driver-side candidates + verify path."""
+    import ray.data as rd
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"tok{i}" for i in range(400)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=50)) for _ in range(300)]
+    texts += ["zq " + texts[i] for i in range(15)]      # seeded near-dups
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    cand = dedup.minhash_lsh_candidates(ds)
+    old = dedup.verify_candidates_distributed(ds, cand, threshold=0.6,
+                                              sig_margin=0.2, sig_min_pairs=0)
+    new = dedup.minhash_near_dups_distributed(ds, threshold=0.6,
+                                              sig_margin=0.2)
+    assert len(new) >= 15
+    pd.testing.assert_frame_equal(old.reset_index(drop=True),
+                                  new.reset_index(drop=True))
