@@ -552,18 +552,23 @@ def minhash_near_dups_distributed(ds, col: str = "text",
       → distributed per-bucket member collection (groupby + list agg)
       → star-capped pair expansion inside map_batches (parallel over
         bucket batches, never per group)
-      → distributed pair dedup (ONE groupby over (id_a, id_b) — the same
-        pair surfaces from ~every band for a true dup)
-      → signature prefilter (broadcast (id, sig) matrix)
+      → signature prefilter (broadcast (id, sig) matrix) over the RAW
+        (possibly repeated) pair stream
+      → driver-side dedup of the tiny survivor set
       → exact vectorized shingle verification.
+
+    Pair dedup deliberately happens AFTER the prefilter: a distributed
+    (id_a, id_b) groupby before it measured 28.6 s of sort shuffle on 1.8M
+    pair rows of which only 0.5% were repeats — re-estimating a repeated
+    pair costs one numpy row-compare, so the cheap dedup point is the
+    aggregate-sized survivor set (drop_duplicates there keeps the output
+    identical).
 
     Semantics identical to minhash_lsh_candidates +
     verify_candidates_distributed at the same star_cap/sig_margin; only
     aggregate-sized data (bucket keys, candidate signatures, surviving
     pairs) ever reaches the driver."""
     from itertools import combinations as _comb
-
-    from ray.data.aggregate import Count
 
     from .groups import collect_list_agg
 
@@ -593,16 +598,15 @@ def minhash_near_dups_distributed(ds, col: str = "text",
                     out_b.append(b)
         return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
 
-    pairs_ds = (buckets.map_batches(expand, batch_format="pyarrow")
-                .groupby(["id_a", "id_b"])
-                .aggregate(Count())
-                .drop_columns(["count()"]))
+    pairs_ds = buckets.map_batches(expand, batch_format="pyarrow")
 
-    cand_ids = rows.unique(id_col)
     if sig_margin is not None:
+        cand_ids = rows.unique(id_col)
         pairs_ds = _sig_prefilter(ds, pairs_ds, cand_ids, id_col, col, k,
                                   max(0.0, threshold - sig_margin))
-    survivors = pairs_ds.to_pandas()
+    survivors = (pairs_ds.to_pandas()
+                 .drop_duplicates(["id_a", "id_b"])
+                 .sort_values(["id_a", "id_b"]))
     pairs = list(survivors.itertuples(index=False, name=None))
     return _verify_pairs_exact(ds, pairs, id_col, col, threshold, k)
 
