@@ -549,28 +549,26 @@ def minhash_near_dups_distributed(ds, col: str = "text",
     zipf docs):
 
       band rows → colliding-bucket filter (broadcast key set)
-      → distributed per-bucket member collection (groupby + list agg)
-      → star-capped pair expansion inside map_batches (parallel over
-        bucket batches, never per group)
-      → signature prefilter (broadcast (id, sig) matrix) over the RAW
-        (possibly repeated) pair stream
-      → driver-side dedup of the tiny survivor set
+      → hash-partition buckets (ONE int-key exchange on hash(combo) % P —
+        no per-key list aggregate; a 1M-key list-agg groupby measured 50 s
+        on 10.9M colliding rows where this partition+sort takes seconds)
+      → star-capped pair expansion FUSED with the signature prefilter
+        inside each partition task (pairs are estimated against the
+        broadcast (id, sig) matrix the moment they are generated and die
+        in place — a 56M-row candidate-pair dataset never materializes)
+      → driver-side dedup of the tiny survivor set (repeats across bands
+        are ~0.5% of pairs; re-estimating one costs a numpy row compare)
       → exact vectorized shingle verification.
-
-    Pair dedup deliberately happens AFTER the prefilter: a distributed
-    (id_a, id_b) groupby before it measured 28.6 s of sort shuffle on 1.8M
-    pair rows of which only 0.5% were repeats — re-estimating a repeated
-    pair costs one numpy row-compare, so the cheap dedup point is the
-    aggregate-sized survivor set (drop_duplicates there keeps the output
-    identical).
 
     Semantics identical to minhash_lsh_candidates +
     verify_candidates_distributed at the same star_cap/sig_margin; only
     aggregate-sized data (bucket keys, candidate signatures, surviving
     pairs) ever reaches the driver."""
+    import ray
     from itertools import combinations as _comb
 
-    from .groups import collect_list_agg
+    from ..runtime import shuffle_partitions
+    from .hashing import splitmix64
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     hasher = MinHasher(num_perm)
@@ -579,32 +577,57 @@ def minhash_near_dups_distributed(ds, col: str = "text",
     if rows is None:
         return empty
     rows = rows.materialize()
-    buckets = rows.groupby("combo").aggregate(
-        collect_list_agg(id_col, name="ids", max_per_key=1_000_000))
 
-    def expand(t: pa.Table) -> pa.Table:
+    cutoff = max(0.0, threshold - sig_margin) if sig_margin is not None \
+        else None
+    if cutoff is not None:
+        cand_ids = rows.unique(id_col)
+        sid, smat = fetch_signatures_for_ids(ds, cand_ids, id_col, col, k,
+                                             num_perm)
+        sref = ray.put((sid, smat))
+    else:
+        sref = None
+
+    P = shuffle_partitions() * 4
+
+    def add_p(t: pa.Table) -> pa.Table:
+        h = splitmix64(np.asarray(t.column("combo").cast(pa.int64()))
+                       .view(np.uint64))
+        return t.append_column("_p", pa.array((h % P).astype(np.int64)))
+
+    def expand_filter(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for ids in t.column("ids").to_pylist():
-            u = sorted(set(ids))
+        for _, members in g.groupby("combo", sort=False)[id_col]:
+            u = sorted(set(members))
             if len(u) < 2:
                 continue
             if star_cap is not None and len(u) > star_cap:
-                hub = u[0]
-                out_a.extend([hub] * (len(u) - 1))
+                out_a.extend([u[0]] * (len(u) - 1))
                 out_b.extend(u[1:])
             else:
                 for a, b in _comb(u, 2):
                     out_a.append(a)
                     out_b.append(b)
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
+        res = pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        if sref is None or not len(res):
+            return res
+        ids_s, mat = ray.get(sref)
+        a = res["id_a"].to_numpy()
+        b = res["id_b"].to_numpy()
+        if np.issubdtype(ids_s.dtype, np.number):
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+        else:
+            pos = {v: i for i, v in enumerate(ids_s)}
+            ia = np.fromiter((pos[x] for x in a), np.int64, len(a))
+            ib = np.fromiter((pos[x] for x in b), np.int64, len(b))
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        return res[est >= cutoff]
 
-    pairs_ds = buckets.map_batches(expand, batch_format="pyarrow")
-
-    if sig_margin is not None:
-        cand_ids = rows.unique(id_col)
-        pairs_ds = _sig_prefilter(ds, pairs_ds, cand_ids, id_col, col, k,
-                                  max(0.0, threshold - sig_margin))
-    survivors = (pairs_ds.to_pandas()
+    survivors = (rows.map_batches(add_p, batch_format="pyarrow")
+                 .groupby("_p")
+                 .map_groups(expand_filter, batch_format="pandas")
+                 .to_pandas()
                  .drop_duplicates(["id_a", "id_b"])
                  .sort_values(["id_a", "id_b"]))
     pairs = list(survivors.itertuples(index=False, name=None))
