@@ -310,7 +310,9 @@ if __name__ == "__main__":
             SF_DIR, lo=int(os.environ.get("FPV_SCALE_LO", "8")),
             hi=int(os.environ.get("FPV_SCALE_HI", "32")))))
     elif "--minhash-scaling" in sys.argv:
-        print(json.dumps(run_minhash_scaling(SF_DIR)))
+        print(json.dumps(run_minhash_scaling(
+            SF_DIR, lo=int(os.environ.get("FPV_SCALE_LO", "8")),
+            hi=int(os.environ.get("FPV_SCALE_HI", "32")))))
     elif "--minhash" in sys.argv:
         mult = int(os.environ.get("FPV_DOC_MULT", "40"))
         print(json.dumps(run_minhash_bench(_scaled_docs(SF_DIR, mult),
