@@ -536,6 +536,85 @@ def _verify_pairs_exact(ds, pairs, id_col: str, col: str,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _signature_rows(ds, col: str, id_col: str, hasher: MinHasher,
+                    k: int):
+    """ONE text scan → (id, sig fixed_size_list<int64>[num_perm]) Dataset.
+    Shingling is the memory-bandwidth-heavy step of the whole minhash
+    chain; computing signatures once and deriving everything downstream
+    (band rows, prefilter matrix) from them removed a full duplicate
+    corpus scan that measured 42.6 s of 148 s at 16 cpus on 808k docs."""
+    num_perm = hasher.num_perm
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.fill_null(t.column(col), ""))
+        sh, ptr = _window_hashes(texts, k)
+        sigs = hasher.signatures_batch(sh, ptr)
+        return pa.table({id_col: t.column(id_col),
+                         "sig": pa.FixedSizeListArray.from_arrays(
+                             pa.array(sigs.ravel().view(np.int64)),
+                             num_perm)})
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def _band_combo_rows_from_sigs(sigs_ds, id_col: str, num_perm: int,
+                               bands: int):
+    """(combo, id) band rows derived from a signature Dataset — same combo
+    values as :func:`_band_rows_with_combo` (same band-hash fold and
+    band-id mix), but computed from the 64 ints instead of re-shingling
+    text. Narrower than the text-derived band rows too: band_id/band_hash
+    are folded into combo and never materialized."""
+    rows_per_band = num_perm // bands
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"combo": pa.array([], type=pa.int64()),
+                             id_col: t.column(id_col)})
+        sig = t.column("sig").combine_chunks()
+        mat = np.asarray(sig.flatten()).view(np.uint64).reshape(n, num_perm)
+        with np.errstate(over="ignore"):
+            pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(
+                rows_per_band, dtype=np.uint64)
+            bh = (mat.reshape(n, bands, rows_per_band) * pw).sum(
+                axis=2, dtype=np.uint64)
+        combo = (bh.view(np.int64)
+                 + np.arange(bands, dtype=np.int64)[None, :]
+                 * np.int64(0x9E3779B9)).ravel()
+        ids_rep = t.column(id_col).combine_chunks().take(
+            np.repeat(np.arange(n, dtype=np.int64), bands))
+        return pa.table({"combo": pa.array(combo, type=pa.int64()),
+                         id_col: ids_rep})
+
+    return sigs_ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+def _sig_matrix_from_sigs(sigs_ds, id_col: str, num_perm: int,
+                          ids=None) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted id array, uint64 matrix[n, num_perm]) from a materialized
+    signature Dataset — zero re-shingling. ``ids=None`` keeps every row
+    (the right call when ~all docs collide); otherwise rows are filtered
+    to the candidate set so the broadcast stays candidate-bounded."""
+    import ray
+
+    tabs = [t for t in ray.get(sigs_ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, num_perm), dtype=np.uint64))
+    tab = pa.concat_tables(tabs)
+    if ids is not None:
+        w = pa.array(sorted(set(ids)))
+        m = pc.is_in(tab.column(id_col),
+                     value_set=w.cast(tab.column(id_col).type))
+        tab = tab.filter(pc.fill_null(m, False))
+    ids_np = tab.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_np, kind="mergesort")
+    sig = tab.column("sig").combine_chunks()
+    mat = np.asarray(sig.flatten()).view(np.uint64).reshape(
+        tab.num_rows, num_perm)
+    return ids_np[order], mat[order]
+
+
 def minhash_near_dups_distributed(ds, col: str = "text",
                                   id_col: str = "doc_id",
                                   num_perm: int = 64, bands: int = 16,
@@ -548,14 +627,19 @@ def minhash_near_dups_distributed(ds, col: str = "text",
     :func:`minhash_lsh_candidates` flat-lined scaling at 0.26 on 202k
     zipf docs):
 
-      band rows → colliding-bucket filter (broadcast key set)
+      ONE text scan → (id, signature) Dataset, materialized
+      → band rows derived from signatures (no second shingle pass)
+      → colliding-bucket filter (broadcast key set)
       → hash-partition buckets (ONE int-key exchange on hash(combo) % P —
         no per-key list aggregate; a 1M-key list-agg groupby measured 50 s
         on 10.9M colliding rows where this partition+sort takes seconds)
       → star-capped pair expansion FUSED with the signature prefilter
-        inside each partition task (pairs are estimated against the
-        broadcast (id, sig) matrix the moment they are generated and die
-        in place — a 56M-row candidate-pair dataset never materializes)
+        inside each partition task, fully vectorized (bucket boundaries by
+        adjacent-compare, all-pairs per bucket-size class via
+        ``triu_indices``, star edges via ``repeat`` — no Python loop over
+        buckets; pairs are estimated against the broadcast (id, sig)
+        matrix the moment they are generated and die in place — a 56M-row
+        candidate-pair dataset never materializes)
       → driver-side dedup of the tiny survivor set (repeats across bands
         are ~0.5% of pairs; re-estimating one costs a numpy row compare)
       → exact vectorized shingle verification.
@@ -563,17 +647,23 @@ def minhash_near_dups_distributed(ds, col: str = "text",
     Semantics identical to minhash_lsh_candidates +
     verify_candidates_distributed at the same star_cap/sig_margin; only
     aggregate-sized data (bucket keys, candidate signatures, surviving
-    pairs) ever reaches the driver."""
+    pairs) ever reaches the driver. The prefilter matrix is rebuilt from
+    the materialized signature Dataset (candidate-filtered when <50% of
+    docs collide), so the corpus text is scanned exactly once here plus
+    once in the sparse verification fetch."""
     import ray
-    from itertools import combinations as _comb
 
     from ..runtime import shuffle_partitions
     from .hashing import splitmix64
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     hasher = MinHasher(num_perm)
+    sigs = _signature_rows(ds, col, id_col, hasher, k).materialize()
+    n_total = sigs.count()
+    if n_total == 0:
+        return empty
     rows = _colliding_bucket_rows(
-        _band_rows_with_combo(ds, col, id_col, hasher, bands, k), "combo")
+        _band_combo_rows_from_sigs(sigs, id_col, num_perm, bands), "combo")
     if rows is None:
         return empty
     rows = rows.materialize()
@@ -582,8 +672,9 @@ def minhash_near_dups_distributed(ds, col: str = "text",
         else None
     if cutoff is not None:
         cand_ids = rows.unique(id_col)
-        sid, smat = fetch_signatures_for_ids(ds, cand_ids, id_col, col, k,
-                                             num_perm)
+        sid, smat = _sig_matrix_from_sigs(
+            sigs, id_col, num_perm,
+            ids=None if len(cand_ids) * 2 >= n_total else cand_ids)
         sref = ray.put((sid, smat))
     else:
         sref = None
@@ -596,19 +687,34 @@ def minhash_near_dups_distributed(ds, col: str = "text",
         return t.append_column("_p", pa.array((h % P).astype(np.int64)))
 
     def expand_filter(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, members in g.groupby("combo", sort=False)[id_col]:
-            u = sorted(set(members))
-            if len(u) < 2:
-                continue
-            if star_cap is not None and len(u) > star_cap:
-                out_a.extend([u[0]] * (len(u) - 1))
-                out_b.extend(u[1:])
-            else:
-                for a, b in _comb(u, 2):
-                    out_a.append(a)
-                    out_b.append(b)
-        res = pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        res = pd.DataFrame({"id_a": [], "id_b": []})
+        if len(g):
+            g = g.sort_values(["combo", id_col], kind="mergesort")
+            combo = g["combo"].to_numpy()
+            ids = g[id_col].to_numpy()
+            dup = np.zeros(len(ids), dtype=bool)
+            dup[1:] = (combo[1:] == combo[:-1]) & (ids[1:] == ids[:-1])
+            if dup.any():
+                combo, ids = combo[~dup], ids[~dup]
+            starts = np.flatnonzero(np.r_[True, combo[1:] != combo[:-1]])
+            sizes = np.diff(np.r_[starts, len(combo)])
+            out_a, out_b = [], []
+            cap = star_cap if star_cap is not None else len(combo) + 1
+            small = (sizes >= 2) & (sizes <= cap)
+            for m in np.unique(sizes[small]):
+                bs = starts[small & (sizes == m)]
+                ii, jj = np.triu_indices(int(m), 1)
+                out_a.append(ids[(bs[:, None] + ii[None, :])].ravel())
+                out_b.append(ids[(bs[:, None] + jj[None, :])].ravel())
+            big = sizes > cap
+            if big.any():
+                out_a.append(np.repeat(ids[starts[big]], sizes[big] - 1))
+                member_big = np.repeat(big, sizes)
+                member_big[starts[big]] = False
+                out_b.append(ids[member_big])
+            if out_a:
+                res = pd.DataFrame({"id_a": np.concatenate(out_a),
+                                    "id_b": np.concatenate(out_b)})
         if sref is None or not len(res):
             return res
         ids_s, mat = ray.get(sref)
