@@ -525,3 +525,30 @@ def test_minhash_distributed_matches_driver_path(ray_session):
     assert len(new) >= 15
     pd.testing.assert_frame_equal(old.reset_index(drop=True),
                                   new.reset_index(drop=True))
+
+
+def test_minhash_distributed_mass_duplicate_corpus(ray_session):
+    """Mass-collision regime: >50% of docs are copies of one text, so the
+    prefilter matrix is built from the FULL signature Dataset (the
+    ids=None branch of _sig_matrix_from_sigs) and the hot bucket exceeds
+    star_cap (the vectorized repeat-based star expansion). Pairs must
+    still match the driver-side candidates + verify path exactly."""
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"tok{i}" for i in range(300)], dtype=object)
+    base = " ".join(rng.choice(vocab, size=80))
+    texts = [base] * 50 + [" ".join(rng.choice(vocab, size=80))
+                           for _ in range(30)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    cand = dedup.minhash_lsh_candidates(ds)
+    old = dedup.verify_candidates_distributed(
+        ds, cand, threshold=0.8, star_cap=8, sig_margin=0.2,
+        sig_min_pairs=0)
+    new = dedup.minhash_near_dups_distributed(
+        ds, threshold=0.8, star_cap=8, sig_margin=0.2)
+    # hub star: 49 edges from the min-id duplicate to every other copy
+    assert len(new) == 49
+    assert (new["jaccard"] == 1.0).all()
+    pd.testing.assert_frame_equal(old.reset_index(drop=True),
+                                  new.reset_index(drop=True))
