@@ -152,3 +152,53 @@ def chunk_batch(t: pa.Table, col: str = "text", id_col: str = "doc_id",
         "chunk_id": pa.array(chunk_id, type=pa.int64()),
         "chunk_text": pc.binary_join(chunk_list, " "),
         "chunk_tokens": pa.array(length, type=pa.int64())})
+
+
+def curate_clean_batch(t: pa.Table, bench_sorted: np.ndarray,
+                       id_col: str = "doc_id",
+                       col: str = "text") -> pa.Table:
+    """One batch of the composed corpus-curation chain → (doc_id,
+    content_hash): held-out-slice exclusion (doc_id%97==0) → language
+    filter (en) → quality filter (≥5 tokens, punct ratio ≤0.2) → C4 line
+    cleaning (≥3 words per line, non-empty doc) → 4-gram decontamination
+    against the SORTED ``bench_sorted`` hash array (searchsorted, broadcast
+    small side) → md5 content hash of the cleaned text.
+
+    Shared verbatim by the registered ``curate_documents`` query and
+    ``state.curate_checkpoint.run_curate_checkpointed`` so the resumable
+    run is provably the same computation the DuckDB oracle verifies."""
+    from . import dedup, text
+
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "content_hash": pa.array([], type=pa.string())})
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % 97 != 0))
+    if t.num_rows == 0:
+        return empty
+    t = t.filter(pc.equal(
+        text.langid_batch(t, col).column("detected_lang"), "en"))
+    if t.num_rows == 0:
+        return empty
+    s = text.text_stats_batch(t, col)
+    t = t.filter(pc.and_(pc.greater_equal(s.column("ws_tokens"), 5),
+                         pc.less_equal(s.column("punct_ratio"), 0.2)))
+    if t.num_rows == 0:
+        return empty
+    dirty = pc.replace_substring(pc.fill_null(t.column(col), ""),
+                                 " table ", "\n")
+    c = clean_lines_batch(
+        pa.table({id_col: t.column(id_col), col: dirty}), min_words=3)
+    c = c.filter(pc.greater(c.column("kept_lines"), 0))
+    if c.num_rows == 0:
+        return empty
+    gh, gdoc = text.word_ngram_hashes(c.column("clean_text"), 4)
+    contaminated = np.zeros(c.num_rows, dtype=bool)
+    if len(bench_sorted) and len(gh):
+        pos = np.searchsorted(bench_sorted, gh)
+        hit = np.zeros(len(gh), dtype=bool)
+        inb = pos < len(bench_sorted)
+        hit[inb] = bench_sorted[pos[inb]] == gh[inb]
+        contaminated[np.unique(gdoc[hit])] = True
+    c = c.filter(pa.array(~contaminated))
+    out = pa.table({id_col: c.column(id_col), col: c.column("clean_text")})
+    return dedup.add_md5_batch(out, col).select([id_col, "content_hash"])

@@ -1015,42 +1015,7 @@ def q_curate_documents(sf_dir: str) -> pd.DataFrame:
     bref = ray.put(np.sort(np.asarray(bench, dtype=np.uint64)))
 
     def stage(t: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "content_hash": pa.array([], type=pa.string())})
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % 97 != 0))
-        if t.num_rows == 0:
-            return empty
-        t = t.filter(pc.equal(
-            text.langid_batch(t).column("detected_lang"), "en"))
-        if t.num_rows == 0:
-            return empty
-        s = text.text_stats_batch(t)
-        t = t.filter(pc.and_(pc.greater_equal(s.column("ws_tokens"), 5),
-                             pc.less_equal(s.column("punct_ratio"), 0.2)))
-        if t.num_rows == 0:
-            return empty
-        dirty = pc.replace_substring(pc.fill_null(t.column("text"), ""),
-                                     " table ", "\n")
-        c = clean.clean_lines_batch(
-            pa.table({"doc_id": t.column("doc_id"), "text": dirty}),
-            min_words=3)
-        c = c.filter(pc.greater(c.column("kept_lines"), 0))
-        if c.num_rows == 0:
-            return empty
-        b = ray.get(bref)
-        gh, gdoc = text.word_ngram_hashes(c.column("clean_text"), 4)
-        contaminated = np.zeros(c.num_rows, dtype=bool)
-        if len(b) and len(gh):
-            pos = np.searchsorted(b, gh)
-            hit = np.zeros(len(gh), dtype=bool)
-            inb = pos < len(b)
-            hit[inb] = b[pos[inb]] == gh[inb]
-            contaminated[np.unique(gdoc[hit])] = True
-        c = c.filter(pa.array(~contaminated))
-        out = pa.table({"doc_id": c.column("doc_id"),
-                        "text": c.column("clean_text")})
-        return dedup.add_md5_batch(out).select(["doc_id", "content_hash"])
+        return clean.curate_clean_batch(t, ray.get(bref))
 
     from ray.data.aggregate import Min
     survivors = (ds.map_batches(stage, batch_format="pyarrow")
