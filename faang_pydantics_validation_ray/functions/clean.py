@@ -156,7 +156,7 @@ def chunk_batch(t: pa.Table, col: str = "text", id_col: str = "doc_id",
 
 def curate_clean_batch(t: pa.Table, bench_sorted: np.ndarray,
                        id_col: str = "doc_id",
-                       col: str = "text") -> pa.Table:
+                       col: str = "text", ngram: int = 4) -> pa.Table:
     """One batch of the composed corpus-curation chain → (doc_id,
     content_hash): held-out-slice exclusion (doc_id%97==0) → language
     filter (en) → quality filter (≥5 tokens, punct ratio ≤0.2) → C4 line
@@ -187,11 +187,12 @@ def curate_clean_batch(t: pa.Table, bench_sorted: np.ndarray,
     dirty = pc.replace_substring(pc.fill_null(t.column(col), ""),
                                  " table ", "\n")
     c = clean_lines_batch(
-        pa.table({id_col: t.column(id_col), col: dirty}), min_words=3)
+        pa.table({id_col: t.column(id_col), col: dirty}), col=col,
+        min_words=3)
     c = c.filter(pc.greater(c.column("kept_lines"), 0))
     if c.num_rows == 0:
         return empty
-    gh, gdoc = text.word_ngram_hashes(c.column("clean_text"), 4)
+    gh, gdoc = text.word_ngram_hashes(c.column("clean_text"), ngram)
     contaminated = np.zeros(c.num_rows, dtype=bool)
     if len(bench_sorted) and len(gh):
         pos = np.searchsorted(bench_sorted, gh)

@@ -594,19 +594,26 @@ def _sig_matrix_from_sigs(sigs_ds, id_col: str, num_perm: int,
     """(sorted id array, uint64 matrix[n, num_perm]) from a materialized
     signature Dataset — zero re-shingling. ``ids=None`` keeps every row
     (the right call when ~all docs collide); otherwise rows are filtered
-    to the candidate set so the broadcast stays candidate-bounded."""
+    to the candidate set WORKER-SIDE (broadcast id set, per-batch is_in)
+    so only candidate rows ever reach the driver."""
     import ray
 
-    tabs = [t for t in ray.get(sigs_ds.to_arrow_refs()) if t.num_rows]
+    ds = sigs_ds
+    if ids is not None:
+        wref = ray.put(pa.array(sorted(set(ids))))
+
+        def filt(t: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            m = pc.is_in(t.column(id_col),
+                         value_set=w.cast(t.column(id_col).type))
+            return t.filter(pc.fill_null(m, False))
+
+        ds = sigs_ds.map_batches(filt, batch_format="pyarrow")
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not tabs:
         return (np.empty(0, dtype=np.int64),
                 np.empty((0, num_perm), dtype=np.uint64))
     tab = pa.concat_tables(tabs)
-    if ids is not None:
-        w = pa.array(sorted(set(ids)))
-        m = pc.is_in(tab.column(id_col),
-                     value_set=w.cast(tab.column(id_col).type))
-        tab = tab.filter(pc.fill_null(m, False))
     ids_np = tab.column(id_col).to_numpy(zero_copy_only=False)
     order = np.argsort(ids_np, kind="mergesort")
     sig = tab.column("sig").combine_chunks()

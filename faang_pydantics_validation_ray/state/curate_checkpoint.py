@@ -86,8 +86,15 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
         _write_manifest(bench_man, {
             "stage": "benchgrams", "params_version": version,
             "grams": int(len(grams)), "wall_s": round(time.time() - t0, 3)})
+    import ray
     bench_sorted = (pq.read_table(bench_path).column("gram")
                     .to_numpy(zero_copy_only=False).view(np.uint64))
+    # broadcast ONCE (same bref pattern as the registered query) — a
+    # per-partition closure capture would re-serialize the gram array
+    # into the object store once per input file
+    bref = ray.put(bench_sorted)
+    empty_clean = pa.table({id_col: pa.array([], type=pa.int64()),
+                            "content_hash": pa.array([], type=pa.string())})
 
     # ---- stage 1: per-partition curated (doc_id, content_hash) rows
     done = 0
@@ -100,10 +107,12 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
         t0 = time.time()
         ct = (rd.read_parquet(f, columns=[id_col, col])
               .map_batches(lambda t: clean.curate_clean_batch(
-                  t, bench_sorted, id_col=id_col, col=col),
+                  t, ray.get(bref), id_col=id_col, col=col, ngram=ngram),
                   batch_format="pyarrow"))
-        tbl = pa.concat_tables(list(
-            ct.iter_batches(batch_size=None, batch_format="pyarrow")))
+        # a fully-filtered partition yields zero batches — still a valid,
+        # completed unit (empty parquet + manifest)
+        tabs = list(ct.iter_batches(batch_size=None, batch_format="pyarrow"))
+        tbl = pa.concat_tables(tabs) if tabs else empty_clean
         tbl = tbl.sort_by([(id_col, "ascending")])
         _atomic_write_table(tbl, os.path.join(out_dir, "clean", f"part={i}"),
                             "clean.parquet")
@@ -128,10 +137,14 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
         t0 = time.time()
         from ray.data.aggregate import Min
         clean_ds = rd.read_parquet(os.path.join(out_dir, "clean"))
-        survivors = (clean_ds.groupby("content_hash")
-                     .aggregate(Min(id_col, alias_name=id_col)).to_pandas())
-        survivors = (survivors[[id_col]].astype({id_col: "int64"})
-                     .sort_values(id_col).reset_index(drop=True))
+        if clean_ds.count() == 0:
+            survivors = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        else:
+            survivors = (clean_ds.groupby("content_hash")
+                         .aggregate(Min(id_col, alias_name=id_col))
+                         .to_pandas())
+            survivors = (survivors[[id_col]].astype({id_col: "int64"})
+                         .sort_values(id_col).reset_index(drop=True))
         _atomic_write_table(
             pa.Table.from_pandas(survivors, preserve_index=False),
             os.path.join(out_dir, "survivors"), "survivors.parquet")

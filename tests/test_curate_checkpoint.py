@@ -86,3 +86,31 @@ def test_stage_level_resume(docs_dir, tmp_path_factory):
     surv_after = open(os.path.join(out, "survivors", "survivors.parquet"),
                       "rb").read()
     assert surv_before == surv_after
+
+
+def test_empty_partition_and_custom_params(ray_session, tmp_path_factory):
+    """A partition whose docs are ALL filtered out is still a valid,
+    completed unit (empty clean parquet + manifest), and the exposed
+    col/ngram knobs are honored end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("curate_empty_parts")
+    # part 0: real English docs; part 1: all fail the 5-token quality bar
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(1, 9, dtype=np.int64)),
+        "body": pa.array(["the quick brown fox jumps over the lazy dog"] * 8),
+    }), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(101, 109, dtype=np.int64)),
+        "body": pa.array(["x"] * 8),
+    }), str(d / "part-1.parquet"))
+
+    out = str(tmp_path_factory.mktemp("curate_empty_out"))
+    s = run_curate_checkpointed(str(d), out, col="body", ngram=5)
+    assert s["complete"] and s["partitions_done"] == 2
+    empty_part = pq.read_table(
+        os.path.join(out, "clean", "part=1", "clean.parquet"))
+    assert empty_part.num_rows == 0
+    # 8 identical docs dedup to one survivor (the min doc_id)
+    assert read_survivors(out)["doc_id"].tolist() == [1]
