@@ -295,7 +295,9 @@ def verify_candidates(candidates_df: pd.DataFrame, texts_by_id: dict,
     for a, b in sorted(pairs):
         j = ngram_jaccard(str(texts_by_id[a]), str(texts_by_id[b]), k)
         if j >= threshold:
-            rows.append((a, b, round(j, 4)))
+            # raw IEEE division (no rounding): bit-identical to a SQL
+            # oracle computing i/(n_a + n_b - i) over the same shingle sets
+            rows.append((a, b, j))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
@@ -526,7 +528,7 @@ def _verify_pairs_exact(ds, pairs, id_col: str, col: str,
         return pa.table({
             "id_a": pa.array([a for a, m in zip(a_l, keep) if m]),
             "id_b": pa.array([b for b, m in zip(b_l, keep) if m]),
-            "jaccard": pa.array(np.round(j[keep], 4), type=pa.float64())})
+            "jaccard": pa.array(j[keep], type=pa.float64())})
 
     pairs_ds = rd.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
     out = pairs_ds.map_batches(verify, batch_format="pyarrow",

@@ -451,6 +451,31 @@ SELECT CAST(COUNT(*) AS BIGINT) AS total,
 FROM documents
 """
 
+# Exact all-pairs character-5-shingle Jaccard ≥ 0.6 — the ground truth the
+# MinHash-LSH pipeline approximates. On this corpus every true pair sits far
+# above the threshold (min true jaccard ≈ 0.93 at sf0.01), where the banding
+# detection probability is ≈ 1 − (1 − j⁴)¹⁶ ≈ 1, so LSH recall is exactly
+# 1.0 and the pipeline's exact verification makes the outputs identical —
+# including the jaccard value itself: both sides compute i / (n_a + n_b − i)
+# as one IEEE-754 double division over the same integers (no rounding).
+SQL_MINHASH_NEARDUP_DOCUMENTS = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+        FROM docs WHERE length(t) >= 5),
+sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+ORDER BY id_a, id_b
+"""
+
 
 def q_token_stats_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2892,6 +2917,7 @@ ORACLES = {
     "ref_orders_customer": SQL_REF_ORDERS_CUSTOMER,
     "ref_events_customer_bloom": SQL_REF_EVENTS_CUSTOMER,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "minhash_neardup_documents": SQL_MINHASH_NEARDUP_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "langid_documents": SQL_LANGID_DOCUMENTS,
