@@ -127,7 +127,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         times.append(time.perf_counter() - t0)
         phase_runs.append(res.summary.get("phase_sec", {}))
     times_sorted = sorted(times)
-    headline = times_sorted[len(times_sorted) // 2]
+    # true median: upper-middle for odd N; LOWER middle for even N (an even
+    # run count previously reported the worse of the two middles — on a VM
+    # with 1.9x run spread that systematically understated throughput)
+    headline = times_sorted[(len(times_sorted) - 1) // 2]
     med_idx = times.index(headline)
     res_phases = phase_runs[med_idx]
     total_rows = res.summary["total"]
@@ -265,7 +268,7 @@ def run_minhash_bench(docs_dir: str, num_cpus: int) -> dict:
         out = Q.QUERIES["minhash_neardup_documents"](docs_dir)
         times.append(time.perf_counter() - t0)
         pairs = len(out)
-    med = sorted(times)[len(times) // 2]
+    med = sorted(times)[(len(times) - 1) // 2]
     res = {"metric": "minhash_neardup_documents wall time",
            "value": round(med, 3), "unit": "sec", "rows": rows,
            "docs_per_sec": round(rows / med, 1), "num_cpus": num_cpus,

@@ -1259,3 +1259,84 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a",
     out = labels.to_pandas().rename(columns={"label": "cluster_id"})
     out["keep"] = out["id"] == out["cluster_id"]
     return out.sort_values("id").reset_index(drop=True)
+
+
+def substring_dup_windows(ds, col: str = "text", id_col: str = "doc_id",
+                          n: int = 8) -> pd.DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the substring flavor the
+    suffix-array approach targets, restated over word windows):
+    → DataFrame(doc_id, dup_windows) for every doc containing at least one
+    ``n``-word window that also occurs in ANOTHER doc; ``dup_windows``
+    counts the window POSITIONS whose window is cross-doc duplicated.
+
+    Scale shape (two streaming scans, ONE fixed-width combinable exchange):
+
+      scan 1 → per-batch (gram_hash, min_doc, max_doc) partials, deduped
+        within batch; "occurs in ≥2 distinct docs" is recovered from the
+        GLOBAL min/max doc_id per gram (min ≠ max ⇔ ≥2 docs) — a fully
+        combinable reduction, so the exchange carries one int64 triple per
+        distinct gram per batch, never the corpus
+      → duplicated-gram hash set (bounded by the count of DISTINCT
+        cross-doc-duplicated windows) broadcast via ray.put, sorted
+      scan 2 → per-batch searchsorted membership over every window
+        position → per-doc counts; only contaminated rows leave workers.
+
+    Window hashing reuses :func:`text.word_ngram_hashes` (lowered
+    whitespace tokens, dictionary-encoded SipHash, strided gram adds) —
+    the same kernel the green decontamination oracle already certifies
+    against string-equality SQL semantics."""
+    import ray
+
+    from .groups import hash_partitioned_agg
+    from .text import word_ngram_hashes
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        gh, gdoc = word_ngram_hashes(t.column(col), n)
+        if len(gh) == 0:
+            return pa.table({"gh": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"gh": gh.view(np.int64),
+                           "doc": ids[gdoc].astype(np.int64)})
+        g = df.groupby("gh", sort=False)["doc"].agg(["min", "max"])
+        return pa.table({"gh": g.index.to_numpy(),
+                         "mn": g["min"].to_numpy(),
+                         "mx": g["max"].to_numpy()})
+
+    agg = hash_partitioned_agg(
+        ds.map_batches(partials, batch_format="pyarrow"), "gh",
+        {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        post=lambda d: d[d["mn"] != d["mx"]][["gh"]])
+    dup = agg.to_pandas()
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "dup_windows": pd.Series([], dtype="int64")})
+    if dup.empty:
+        return empty
+    dref = ray.put(np.sort(dup["gh"].to_numpy(np.int64).view(np.uint64)))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        gh, gdoc = word_ngram_hashes(t.column(col), n)
+        out = pa.table({id_col: pa.array([], type=pa.int64()),
+                        "dup_windows": pa.array([], type=pa.int64())})
+        if len(gh) == 0:
+            return out
+        d = ray.get(dref)
+        pos = np.searchsorted(d, gh)
+        hit = np.zeros(len(gh), dtype=bool)
+        inb = pos < len(d)
+        hit[inb] = d[pos[inb]] == gh[inb]
+        if not hit.any():
+            return out
+        cnt = np.bincount(gdoc[hit], minlength=t.num_rows)
+        rows = np.flatnonzero(cnt)
+        return pa.table({id_col: pa.array(ids[rows].astype(np.int64)),
+                         "dup_windows": pa.array(cnt[rows].astype(np.int64))})
+
+    out = ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return (out.astype({id_col: "int64", "dup_windows": "int64"})
+            .sort_values(id_col).reset_index(drop=True))

@@ -956,6 +956,39 @@ GROUP BY train.doc_id ORDER BY train.doc_id
 """
 
 
+def q_substring_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022 substring
+    flavor over 8-word windows): docs containing a window that also occurs
+    in another doc, with the count of duplicated window positions. Two
+    streaming scans + one fixed-width combinable exchange; see
+    dedup.substring_dup_windows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.substring_dup_windows(ds, n=8)
+
+
+# Same window semantics in SQL: lowered whitespace tokens, 8-word windows,
+# a window is duplicated iff it occurs in >=2 DISTINCT docs; dup_windows
+# counts positions. Gram equality is by string here vs 64-bit SipHash in the
+# pipeline — identical grouping absent a 64-bit collision (p ~ windows^2/2^64,
+# deterministic on fixed data; the decontam oracle certifies the same kernel).
+SQL_SUBSTRING_DEDUP_DOCUMENTS = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+win AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+  FROM tok, UNNEST(range(1, len(w)-6)) AS t(i)
+),
+dup AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT win.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+FROM win JOIN dup ON win.g = dup.g
+GROUP BY win.doc_id ORDER BY win.doc_id
+"""
+
+
 def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, fully distributed end-to-end: banding,
     colliding-bucket collection, star-capped pair expansion, pair dedup,
@@ -2845,6 +2878,7 @@ QUERIES = {
     "ref_orders_customer": q_ref_orders_customer,
     "ref_events_customer_bloom": q_ref_events_customer_bloom,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "substring_dedup_documents": q_substring_dedup_documents,
     "token_stats_documents": q_token_stats_documents,
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
@@ -2917,6 +2951,7 @@ ORACLES = {
     "ref_orders_customer": SQL_REF_ORDERS_CUSTOMER,
     "ref_events_customer_bloom": SQL_REF_EVENTS_CUSTOMER,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "substring_dedup_documents": SQL_SUBSTRING_DEDUP_DOCUMENTS,
     "minhash_neardup_documents": SQL_MINHASH_NEARDUP_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,

@@ -552,3 +552,25 @@ def test_minhash_distributed_mass_duplicate_corpus(ray_session):
     assert (new["jaccard"] == 1.0).all()
     pd.testing.assert_frame_equal(old.reset_index(drop=True),
                                   new.reset_index(drop=True))
+
+
+def test_substring_dup_windows_seeded(ray_session):
+    """Docs sharing an 8-word run are flagged with exact position counts;
+    within-doc-only repeats don't count (>=2 DISTINCT docs required)."""
+    import ray.data as rd
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 words
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": [
+            f"intro {shared} outro words here",      # 1 window dup (the run)
+            f"{shared}",                              # exactly the run
+            "totally different words with no overlap at all okay",
+            f"self {shared} again {shared} end",      # 2 dup positions
+        ]}))
+    out = dedup.substring_dup_windows(ds, n=8)
+    got = dict(zip(out["doc_id"], out["dup_windows"]))
+    # doc 1: windows sliding over "intro ... outro": the pure shared window
+    # occurs at exactly one position; doc 2 has exactly one window; doc 4
+    # contains the shared run twice
+    assert got[2] == 1 and got[1] >= 1 and got[4] >= 2
+    assert 3 not in got
