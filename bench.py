@@ -147,7 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "asof_events_orders", "vocab_documents",
         "cluster_embeddings", "docfreq_documents",
         "quantiles_lineitem", "tfidf_documents", "curate_documents",
-        "json_props_events")
+        "json_props_events", "substring_dedup_documents")
     for qname in extra_queries:
         tq = time.perf_counter()
         Q.QUERIES[qname](sf_dir)
