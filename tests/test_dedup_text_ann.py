@@ -574,3 +574,37 @@ def test_substring_dup_windows_seeded(ray_session):
     # contains the shared run twice
     assert got[2] == 1 and got[1] >= 1 and got[4] >= 2
     assert 3 not in got
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_substring_dup_windows_reference(ray_session, texts):
+    """Random tiny corpora vs straightforward string-level reference
+    semantics (independent of the pipeline's hashing): window = 3
+    consecutive lowered whitespace tokens; duplicated iff in >=2 distinct
+    docs; dup_windows counts positions."""
+    import ray.data as rd
+    n = 3
+    docs = {i: t.lower().split() for i, t in enumerate(texts)}
+    wins = {i: [tuple(w[j:j + n]) for j in range(len(w) - n + 1)]
+            for i, w in docs.items()}
+    owners: dict[tuple, set] = {}
+    for i, ws in wins.items():
+        for g in ws:
+            owners.setdefault(g, set()).add(i)
+    dup = {g for g, o in owners.items() if len(o) >= 2}
+    expect = {i: sum(g in dup for g in ws)
+              for i, ws in wins.items() if any(g in dup for g in ws)}
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    out = dedup.substring_dup_windows(ds, n=n)
+    got = dict(zip(out["doc_id"].tolist(), out["dup_windows"].tolist()))
+    assert got == expect
