@@ -127,11 +127,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         times.append(time.perf_counter() - t0)
         phase_runs.append(res.summary.get("phase_sec", {}))
     times_sorted = sorted(times)
-    # true median: upper-middle for odd N; LOWER middle for even N (an even
-    # run count previously reported the worse of the two middles — on a VM
-    # with 1.9x run spread that systematically understated throughput)
-    headline = times_sorted[(len(times_sorted) - 1) // 2]
-    med_idx = times.index(headline)
+    # TRUE median: middle for odd N, mean of the two middles for even N —
+    # picking either single middle run on an even count systematically
+    # biases the headline (worse-middle understates, better-middle inflates)
+    # on a VM with 1.9x run spread. Phases attach to the run closest to the
+    # median.
+    if len(times_sorted) % 2:
+        headline = times_sorted[len(times_sorted) // 2]
+    else:
+        mid = len(times_sorted) // 2
+        headline = (times_sorted[mid - 1] + times_sorted[mid]) / 2
+    med_idx = min(range(len(times)), key=lambda i: abs(times[i] - headline))
     res_phases = phase_runs[med_idx]
     total_rows = res.summary["total"]
     violation_rows = int(res.rule_counts["count"].sum())
@@ -268,7 +274,9 @@ def run_minhash_bench(docs_dir: str, num_cpus: int) -> dict:
         out = Q.QUERIES["minhash_neardup_documents"](docs_dir)
         times.append(time.perf_counter() - t0)
         pairs = len(out)
-    med = sorted(times)[(len(times) - 1) // 2]
+    ts = sorted(times)
+    med = (ts[len(ts) // 2] if len(ts) % 2
+           else (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2)
     res = {"metric": "minhash_neardup_documents wall time",
            "value": round(med, 3), "unit": "sec", "rows": rows,
            "docs_per_sec": round(rows / med, 1), "num_cpus": num_cpus,

@@ -1291,6 +1291,14 @@ def substring_dup_windows(ds, col: str = "text", id_col: str = "doc_id",
     from .groups import hash_partitioned_agg
     from .text import word_ngram_hashes
 
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"substring_dup_windows requires an integer id column "
+            f"(min/max-doc reduction orders ids numerically); got "
+            f"{id_col}: {id_type}. Map string ids to int64 first.")
+
     def partials(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         gh, gdoc = word_ngram_hashes(t.column(col), n)

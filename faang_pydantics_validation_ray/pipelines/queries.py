@@ -458,6 +458,14 @@ FROM documents
 # 1.0 and the pipeline's exact verification makes the outputs identical —
 # including the jaccard value itself: both sides compute i / (n_a + n_b − i)
 # as one IEEE-754 double division over the same integers (no rounding).
+# Scope of validity (checked before registering; the gate runs at sf0.01):
+# (a) the corpus is deterministic driver-generated ASCII with min length 47,
+#     so SQL character shingles == the pipeline's utf8-byte shingles and the
+#     WHERE length(t) >= 5 guard never drops a doc; (b) a corpus with true
+#     pairs near j = 0.6 would re-expose LSH's ≈(1−j⁴)¹⁶ per-pair miss rate
+#     and this oracle would catch (not hide) that recall loss; (c) the
+#     unfiltered shingle self-join is quadratic in per-shingle doc frequency
+#     — fine at the sf0.01 gate (0.2 s), ~100 s at sf0.1; do not run larger.
 SQL_MINHASH_NEARDUP_DOCUMENTS = """
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
