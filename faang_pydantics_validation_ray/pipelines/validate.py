@@ -247,13 +247,51 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         dup, missing, near = empty_dup, empty_missing, empty_near
         external = empty_missing.copy()
 
-    # ---- assemble violations
+    # ---- ONE aggregate scan over the core event stream feeds EVERYTHING
+    # downstream: violation exemplars, verdict partials, block-merged
+    # sketches and rule-count partials. Violations used to be a SEPARATE
+    # map_batches execution over the same materialized blocks — folding
+    # them into this pass removes one fixed per-execution cost (~2-5 s per
+    # leg at 6.4M rows, all of it in the flat 'violations assembly' phase
+    # of the scaling battery). Row order is irrelevant: violations are
+    # explicitly sorted below for byte-identical resume.
+    _AGG_COLS = ["kind", "rule_id", "severity", "partition_id", "count",
+                 "rows", "n_error_rows", "n_warn_only_rows", "col", "sketch",
+                 "image_id", "field", "message"]
+
+    def _agg_pass(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["kind"].isin(("batch_stat", "rule_count",
+                                 "violation"))][_AGG_COLS]
+        sk_g = g[g["kind"] == "sketch"]
+        if not len(sk_g):
+            return keep
+        out = []
+        for (pid, colname), rows in sk_g.groupby(["partition_id", "col"],
+                                                 sort=True):
+            prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
+            for b in rows["sketch"].iloc[1:]:
+                prof.merge(ColumnProfile.from_bytes(b))
+            out.append(("sketch", None, None, pid, None, None, None, None,
+                        colname, prof.to_bytes(), None, None, None))
+        return pd.concat(
+            [keep, pd.DataFrame(out, columns=_AGG_COLS)], ignore_index=True)
+
+    agg = events.map_batches(_agg_pass, batch_format="pandas").to_pandas()
+
+    # ---- assemble violations (extracted from the single scan above)
+    _v = agg[agg["kind"] == "violation"]
     viol_parts = [
-        _collect_table(
-            _filter_kind(events, "violation").map_batches(
-                lambda t: t.select([f.name for f in VIOLATION_SCHEMA])
-                .cast(VIOLATION_SCHEMA), batch_format="pyarrow"),
-            VIOLATION_SCHEMA),
+        pa.table({
+            "rule_id": pa.array(_v["rule_id"], type=pa.string()),
+            "image_id": pa.array(_v["image_id"], type=pa.string()),
+            "severity": pa.array(_v["severity"], type=pa.string()),
+            "field": pa.array(_v["field"], type=pa.string()),
+            "message": pa.array(_v["message"], type=pa.string()),
+            "partition_id": pa.array(
+                _v["partition_id"].to_numpy(dtype="int32", na_value=-1)),
+            "count": pa.array(
+                _v["count"].to_numpy(dtype="int64", na_value=1)),
+        }).cast(VIOLATION_SCHEMA),
         _viol_table("unique.image_id", dup["image_id"].tolist(), "error", "image_id",
                     "duplicate image_id", dup["cnt"].tolist()),
         _viol_table("neardup.phash",
@@ -273,35 +311,6 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
 
     _mark("violations assembly")
 
-    # ---- verdict partials + sketch merge + rule-count partials: ONE scan.
-    # The core event stream's BYTES are dominated by the multi-KB sketch
-    # blobs; scanning it once per consumer (batch_stat, sketch, rule_count —
-    # three passes) re-read them every time and cost ~20 s/leg at 6.4M rows.
-    # A single map_batches pass block-merges the sketches (per-BLOCK merge,
-    # no shuffle of blobs) and passes the tiny batch_stat/rule_count rows
-    # through, so the driver pull is aggregate-sized: merged sketches are
-    # ≤ #blocks × #partitions × #cols rows, stats/rule partials are ~rows/
-    # batch_size.
-    _AGG_COLS = ["kind", "rule_id", "severity", "partition_id", "count",
-                 "rows", "n_error_rows", "n_warn_only_rows", "col", "sketch"]
-
-    def _agg_pass(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g[g["kind"].isin(("batch_stat", "rule_count"))][_AGG_COLS]
-        sk_g = g[g["kind"] == "sketch"]
-        if not len(sk_g):
-            return keep
-        out = []
-        for (pid, colname), rows in sk_g.groupby(["partition_id", "col"],
-                                                 sort=True):
-            prof = ColumnProfile.from_bytes(rows["sketch"].iloc[0])
-            for b in rows["sketch"].iloc[1:]:
-                prof.merge(ColumnProfile.from_bytes(b))
-            out.append(("sketch", None, None, pid, None, None, None, None,
-                        colname, prof.to_bytes()))
-        return pd.concat(
-            [keep, pd.DataFrame(out, columns=_AGG_COLS)], ignore_index=True)
-
-    agg = events.map_batches(_agg_pass, batch_format="pandas").to_pandas()
     # mixed-kind concat floats the numeric partials; restore exact ints
     stats = agg[agg["kind"] == "batch_stat"].astype(
         {"rows": "int64", "n_error_rows": "int64", "n_warn_only_rows": "int64"})
