@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashing import hash_column, splitmix64
 
 try:  # Dataset type only for annotations; library code never calls ray.init
     import ray.data as rd
@@ -322,7 +323,6 @@ def _hashed_batch_counts(t: pa.Table, key_col: str, ns: int,
     moves ~2.5× fewer bytes and the reducer groupby runs on int64, not
     object dtype. ``slot`` names which count column this side fills
     (own_cnt / cap_cnt / cat_cnt)."""
-    from .hashing import hash_column
 
     c = _batch_key_counts(t, key_col)
     n = c.num_rows
@@ -360,7 +360,6 @@ def recover_exact_counts(ds: "rd.Dataset", key_col: str,
     ref = ray.put(np.sort(hset.view(np.uint64)))
 
     def per_batch(t: pa.Table) -> pa.Table:
-        from .hashing import hash_column
         c = _batch_key_counts(t, key_col)
         if c.num_rows == 0:
             return c
@@ -407,7 +406,6 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
     candidates survive the exchange, the recovery passes are skipped
     entirely (zero extra scans on clean data)."""
     from ..runtime import shuffle_partitions
-    from .hashing import splitmix64
 
     P = num_partitions or shuffle_partitions()
     tagged = own_hashed
@@ -458,7 +456,6 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
     miss_h = unresolved[unresolved["cat_cnt"] == 0]["kh"].to_numpy(np.int64)
     ext_h = unresolved[unresolved["cat_cnt"] > 0]["kh"].to_numpy(np.int64)
     if (len(miss_h) or len(ext_h)) and captions_keys is not None:
-        from .hashing import hash_column
         rec = recover_exact_counts(
             captions_keys, id_col, np.concatenate([miss_h, ext_h]))
         if len(rec):

@@ -32,7 +32,10 @@ class ImageFeatures:
         self.decode = codec.decode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t.column("bytes").to_pylist()
+        # zero-copy memoryview slices over the Arrow data buffer (shared
+        # with stages/decode.py) — to_pylist() copied every payload
+        from ..stages.decode import _binary_views
+        bufs = _binary_views(t.column("bytes"))
         n = len(bufs)
         ok = np.zeros(n, dtype=bool)
         wd = np.zeros(n, dtype=np.int32)
@@ -70,7 +73,8 @@ class ResizeImages:
         self.fmt = fmt
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        bufs = t.column("bytes").to_pylist()
+        from ..stages.decode import _binary_views
+        bufs = _binary_views(t.column("bytes"))
         out_bufs: list[bytes | None] = []
         for buf in bufs:
             if buf is None:
@@ -126,9 +130,10 @@ class VideoFrameSample:
                      ("h", pa.int32()), ("mean_luma", pa.float32())]
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.decode import _binary_views
         ids, fidx, ws, hs, luma = [], [], [], [], []
         for vid, buf in zip(t.column(self.id_col).to_pylist(),
-                            t.column("bytes").to_pylist()):
+                            _binary_views(t.column("bytes"))):
             if buf is None or len(buf) < 8 or buf[:4] != VIDEO_MAGIC:
                 continue
             n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])

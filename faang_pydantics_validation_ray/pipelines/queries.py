@@ -316,12 +316,13 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h")
-        return df[["window_start", "event_type", "value"]]
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value")})
 
-    out = (ds.map_batches(add_window, batch_format="pandas")
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
            .groupby(["window_start", "event_type"])
            .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
            .to_pandas())
@@ -465,7 +466,13 @@ FROM documents
 #     pairs near j = 0.6 would re-expose LSH's ≈(1−j⁴)¹⁶ per-pair miss rate
 #     and this oracle would catch (not hide) that recall loss; (c) the
 #     unfiltered shingle self-join is quadratic in per-shingle doc frequency
-#     — fine at the sf0.01 gate (0.2 s), ~100 s at sf0.1; do not run larger.
+#     — fine at the sf0.01 gate (0.2 s), ~100 s at sf0.1; do not run larger;
+# (d) no duplicate cluster exceeds star_cap (=64): a larger cluster would
+#     make the pipeline emit only hub edges (identical docs share every band
+#     bucket, so non-hub pairs are never generated) while the SQL reports
+#     all C(n,2) pairs. q_minhash_neardup_documents asserts this on the
+#     result's connected components (hub edges still connect the whole
+#     cluster, so component size == true cluster size for identical docs).
 SQL_MINHASH_NEARDUP_DOCUMENTS = """
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
@@ -1004,7 +1011,18 @@ def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     only aggregate-sized data (bucket keys, candidate signatures, surviving
     pairs) reaches the driver. See dedup.minhash_near_dups_distributed."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.minhash_near_dups_distributed(ds, threshold=0.6)
+    star_cap = 64
+    pairs = dedup.minhash_near_dups_distributed(ds, threshold=0.6,
+                                                star_cap=star_cap)
+    # exact-oracle precondition (d): a duplicate cluster larger than
+    # star_cap would be reported hub-edges-only while the SQL reports all
+    # C(n,2) pairs — fail loudly instead of hash-mismatching silently.
+    comps = dedup.cluster_pairs(pairs)
+    if len(comps) and comps.groupby("cluster_id").size().max() > star_cap:
+        raise AssertionError(
+            "duplicate cluster exceeds star_cap: exact-oracle equality "
+            "precondition (d) violated; see SQL_MINHASH_NEARDUP_DOCUMENTS")
+    return pairs
 
 
 def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
@@ -1727,18 +1745,22 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor("h")
-        out = pd.concat([
-            pd.DataFrame({"window_start": base - pd.Timedelta(hours=k),
-                          "event_type": df["event_type"],
-                          "value": df["value"]})
-            for k in (0, 1)], ignore_index=True)
-        return out.groupby(["window_start", "event_type"],
-                           as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+    def expand(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column("ts"), unit="hour")
+        parts = []
+        for k in (0, 1):
+            w = pc.subtract(base, pa.scalar(k * 3_600_000_000,
+                                            type=pa.duration("us")))
+            parts.append(pa.table({"window_start": w,
+                                   "event_type": t.column("event_type"),
+                                   "value": t.column("value")}))
+        both = pa.concat_tables(parts)
+        g = both.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["window_start", "event_type", "n",
+                                 "sum_value"])
 
-    out = (ds.map_batches(expand, batch_format="pandas")
+    out = (ds.map_batches(expand, batch_format="pyarrow")
            .groupby(["window_start", "event_type"])
            .aggregate(Sum("n", alias_name="n"),
                       Sum("sum_value", alias_name="sum_value"))
@@ -2854,10 +2876,33 @@ def q_approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES = {
-    # ordered so the driver's first-50 sample covers every oracle-backed
-    # family: flagship img_* oracles and the embedding suite lead, then
-    # the remaining DuckDB-verified queries; rows-only entries (no SQL
-    # oracle; pytest parity/bound tests instead) close the dict.
+    # The driver samples the FIRST 50 entries each round, so the ordering
+    # ROTATES (VERDICT r3 #1): oracle-backed queries that have never been
+    # driver-sampled (window lag/rank/prank/zscore/ntile, the minhash
+    # exact oracle) or were last sampled in r1/r2 lead, followed by enough
+    # r3-green entries to fill the window. r3-green entries pushed past
+    # position 50 keep their green CORRECTNESS_r03 history; rows-only
+    # entries (no SQL oracle; pytest parity/bound tests instead) close
+    # the dict.
+    # --- never driver-sampled (oracle-backed) ---
+    "window_lag_events": q_window_lag_events,
+    "window_rank_lineitem": q_window_rank_lineitem,
+    "window_prank_lineitem": q_window_prank_lineitem,
+    "zscore_lineitem": q_zscore_lineitem,
+    "ntile_orders": q_ntile_orders,
+    "minhash_neardup_documents": q_minhash_neardup_documents,
+    # --- last sampled r1/r2 ---
+    "join_consistency": q_join_consistency,
+    "compat_join": q_compat_join,
+    "asof_events_orders": q_asof_events_orders,
+    "range_join_lineitem_orders": q_range_join_lineitem_orders,
+    "events_sliding_window": q_events_sliding_window,
+    "events_sessions": q_events_sessions,
+    "window_cumsum_orders": q_window_cumsum_orders,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "top2_orders_per_status": q_top2_orders_per_status,
+    "export_valid_orders": q_export_valid_orders,
+    # --- r3-green keepers filling the rest of the 50-slot window ---
     "img_scalar_counts": q_img_scalar_counts,
     "img_cross_counts": q_img_cross_counts,
     "img_rule_counts_truth": q_img_rule_counts_truth,
@@ -2868,7 +2913,6 @@ QUERIES = {
     "rules_part_ontology": q_rules_part_ontology,
     "curate_documents": q_curate_documents,
     "json_props_events": q_json_props_events,
-    # remaining DuckDB-verified queries (original grouping order)
     "rules_orders": q_rules_orders,
     "rules_lineitem": q_rules_lineitem,
     "rules_customer": q_rules_customer,
@@ -2891,6 +2935,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
+    # --- past the 50-slot window: r3-green, history retained ---
     "docfreq_documents": q_docfreq_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "tfidf_documents": q_tfidf_documents,
@@ -2909,25 +2954,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mix_documents": q_mix_documents,
-    "join_consistency": q_join_consistency,
-    "compat_join": q_compat_join,
-    "asof_events_orders": q_asof_events_orders,
-    "range_join_lineitem_orders": q_range_join_lineitem_orders,
-    "events_sliding_window": q_events_sliding_window,
-    "events_sessions": q_events_sessions,
-    "window_cumsum_orders": q_window_cumsum_orders,
-    "window_lag_events": q_window_lag_events,
-    "window_rank_lineitem": q_window_rank_lineitem,
-    "window_prank_lineitem": q_window_prank_lineitem,
-    "zscore_lineitem": q_zscore_lineitem,
-    "ntile_orders": q_ntile_orders,
-    "distinct_mktsegment": q_distinct_mktsegment,
-    "top2_orders_per_status": q_top2_orders_per_status,
-    "export_valid_orders": q_export_valid_orders,
     # rows-only (approximate / non-SQL-expressible; pytest-verified)
     "approx_distinct_lineitem": q_approx_distinct_lineitem,
     "fingerprint_documents": q_fingerprint_documents,
-    "minhash_neardup_documents": q_minhash_neardup_documents,
     "simhash_neardup_documents": q_simhash_neardup_documents,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.groups import _batch_key_counts
+from ..functions.hashing import hash_column
 from ..functions.sketches import ColumnProfile
 from ..rules import image_rules
 from ..rules.spec import RuleSet
@@ -172,8 +173,6 @@ def _key_count_events(batch: pa.Table,
     one Arrow group_by + one vectorized hash per namespace. ``cols``
     restricts which namespaces are emitted (callers with the near-dup rule
     off skip the "p" partials entirely)."""
-    from ..functions.hashing import hash_column
-
     ns_arr, kh_arr, counts = [], [], []
     for colname, ns in (("image_id", "i"), ("phash", "p")):
         if colname not in batch.column_names or colname not in cols:

@@ -123,21 +123,31 @@ def test_violation_explosion_bounded(ray_session):
         "phash": pa.array([None] * n, type=pa.int64()),       # warning
         "partition_id": pa.array([0] * n, type=pa.int32()),
     })
-    cap = 10
-    res = validate_images(rd.from_arrow(t), opts=ValidationOptions(
+    cap, gcap = 10, 25
+    opts = ValidationOptions(
         batch_size=500, concurrency=2, exemplar_cap=cap,
-        check_neardup=False, check_unique=False, check_referential=False))
+        exemplar_global_cap=gcap,
+        check_neardup=False, check_unique=False, check_referential=False)
+    res = validate_images(rd.from_arrow(t), opts=opts)
     # exact counts survive: every rule fired on every row
     rc = {r: c for r, _, c in res.rule_counts[["rule_id", "severity", "count"]]
           .itertuples(index=False)}
     for rule in ("required.image_id", "required.bytes", "range.dims",
                  "enum.fmt", "recommended.caption", "recommended.phash"):
         assert rc[rule] == n, rule
-    # exemplars bounded: ≤ cap × rules × batches, far below rules × rows
-    n_batches = -(-n // 500)
-    assert res.violations.num_rows <= cap * len(rc) * n_batches
+    # driver-side exemplars GLOBALLY bounded per (rule, severity) — the
+    # bound is independent of row/batch count (VERDICT r3 #3): the per-
+    # batch cap alone would admit cap × #batches rows per rule here
+    vdf = res.violations.to_pandas()
+    per_rule = vdf.groupby(["rule_id", "severity"]).size()
+    assert (per_rule <= gcap).all(), per_rule
+    assert res.violations.num_rows <= gcap * len(rc)
     assert res.violations.num_rows < n
     assert res.summary["invalid"] == n
+    # selection is deterministic (exact distributed top-k, block-boundary
+    # independent): a second run yields the byte-identical exemplar set
+    res2 = validate_images(rd.from_arrow(t), opts=opts)
+    assert res.violations.equals(res2.violations)
 
 
 def test_unified_multi_type_rollup(ray_session):
