@@ -112,10 +112,8 @@ def ruleset_lineitem() -> tuple[RuleSet, list[tuple[str, str]]]:
            kernels.numeric_range("l_discount", lo=0.0, hi=0.06, severity="warning"))
     rs.add("enum.l_returnflag", "l_returnflag",
            kernels.enum_in("l_returnflag", ["A", "N", "R"]))
-    rs.add("xfield.returned_tax", "l_tax", kernels.expr_mask(
-        ["l_returnflag", "l_tax"],
-        lambda rf, tax: np.asarray(pc.and_(pc.equal(rf, "R"),
-                                           pc.greater(tax, 0.06))),
+    rs.add("xfield.returned_tax", "l_tax", kernels.cond_compare(
+        "l_returnflag", ["R"], "l_tax", "gt", 0.06,
         "returned lines must not exceed 6% tax"))
     return rs, [
         ("range.l_quantity", "error"), ("range.l_discount", "warning"),

@@ -42,9 +42,19 @@ def table_summary(ds, ruleset: RuleSet) -> dict[str, int]:
 
 def validate_many(named: dict[str, tuple]) -> pd.DataFrame:
     """Validate several (dataset, ruleset) pairs and append the cross-type
-    ``total`` rollup row — the unified_validator's total_summary."""
+    ``total`` rollup row — the unified_validator's total_summary.
+
+    A ruleset may be given as a RuleSet, OR as the string name of a
+    declarative ruleset shipped as package data (``rulesets/<name>.json``,
+    loaded via rules.serde — the config-driven path mirroring the
+    reference's rulesets-json files), OR as a plain spec dict."""
+    from ..rules.serde import load_packaged_ruleset, ruleset_from_dict
     rows = []
     for record_type, (ds, ruleset) in named.items():
+        if isinstance(ruleset, str):
+            ruleset = load_packaged_ruleset(ruleset)
+        elif isinstance(ruleset, dict):
+            ruleset = ruleset_from_dict(ruleset)
         rows.append({"record_type": record_type,
                      **table_summary(ds, ruleset)})
     out = pd.DataFrame(rows, columns=SUMMARY_COLUMNS).sort_values(

@@ -15,28 +15,21 @@ import pyarrow.compute as pc
 from ..imagetable import codec
 from . import kernels
 from ._arrow import np_bool
-from .spec import RuleContext, RuleSet
+from .spec import RuleSet
 
 MAX_PIXELS = 1 << 24
 ID_PATTERN = r"^IMG_[0-9]{12}$"
 
 
-def _range_dims_kernel(t: pa.Table, ctx: RuleContext):
-    """P5 graft: claimed w>0 ∧ h>0 ∧ w*h ≤ MAX_PIXELS."""
-    w, h = t.column("w"), t.column("h")
-    bad = np_bool(pc.less_equal(w, 0)) | np_bool(pc.less_equal(h, 0))
-    area = pc.multiply(w.cast(pa.int64()), h.cast(pa.int64()))
-    bad |= np_bool(pc.greater(area, MAX_PIXELS))
-    bad &= ~(ctx.null("w") | ctx.null("h"))
-    return [(bad, "error", f"claimed dims invalid (w>0, h>0, w*h<={MAX_PIXELS})")]
+# P5 graft: claimed w>0 ∧ h>0 ∧ w*h ≤ MAX_PIXELS — built from the shared
+# declarative factory so the packaged JSON ruleset reproduces it exactly
+_range_dims_kernel = kernels.area_range("w", "h", MAX_PIXELS)
 
-
-def _phash_for_lossy_kernel(t: pa.Table, ctx: RuleContext):
-    """P10 graft: lossy fmt ⇒ phash required (conditional requirement)."""
-    fmt = t.column("fmt")
-    lossy = np_bool(pc.is_in(fmt, value_set=pa.array(list(codec.LOSSY_FORMATS))))
-    bad = lossy & ctx.present("fmt") & ctx.null("phash")
-    return [(bad, "error", "phash is required for lossy formats")]
+# P10 graft: lossy fmt ⇒ phash required (conditional requirement)
+PHASH_LOSSY_MESSAGE = "phash is required for lossy formats"
+_phash_for_lossy_kernel = kernels.conditional_required(
+    "fmt", sorted(codec.LOSSY_FORMATS), "phash",
+    message=PHASH_LOSSY_MESSAGE)
 
 
 def range_valid_mask(t: pa.Table) -> np.ndarray:
@@ -55,12 +48,10 @@ DATE_PATTERNS = {"YYYY-MM-DD": r"^\d{4}-\d{2}-\d{2}$",
                  "YYYY": r"^\d{4}$"}
 
 
-def _full_date_unit_gate(t: pa.Table, ctx) -> np.ndarray:
-    """Calendar validity applies only to rows whose unit declares a full
-    date — year/month-granularity values have no day to validate."""
-    if "date_unit" not in t.column_names:
-        return np.zeros(t.num_rows, dtype=bool)
-    return np_bool(pc.equal(t.column("date_unit"), "YYYY-MM-DD"))
+# Calendar validity applies only to rows whose unit declares a full date —
+# year/month-granularity values have no day to validate. Shared factory so
+# the packaged JSON ruleset builds the identical gate.
+_full_date_unit_gate = kernels.unit_gate("date_unit", "YYYY-MM-DD")
 
 
 def build_image_ruleset(vocab=None) -> RuleSet:

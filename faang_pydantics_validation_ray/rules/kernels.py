@@ -180,12 +180,62 @@ def mapped_consistent(col_a: str, col_b: str, mapping: dict, severity: Severity 
     return kernel
 
 
+def area_range(w_col: str, h_col: str, max_area: int,
+               severity: Severity = "error") -> Callable:
+    """P5/P9 composite — both dims positive and their product bounded
+    (``w>0 ∧ h>0 ∧ w*h ≤ max_area``). Declarative form of the flagship's
+    range.dims rule so JSON rulesets reproduce it exactly."""
+    msg = (f"claimed dims invalid ({w_col}>0, {h_col}>0, "
+           f"{w_col}*{h_col}<={max_area})")
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        w, h = t.column(w_col), t.column(h_col)
+        bad = np_bool(pc.less_equal(w, 0)) | np_bool(pc.less_equal(h, 0))
+        area = pc.multiply(w.cast(pa.int64()), h.cast(pa.int64()))
+        bad |= np_bool(pc.greater(area, max_area))
+        bad &= ~(ctx.null(w_col) | ctx.null(h_col))
+        return [(bad, severity, msg)]
+    return kernel
+
+
+def cond_compare(cond_col: str, cond_values: Sequence, col: str, op: str,
+                 limit, message: str, severity: Severity = "error") -> Callable:
+    """P9 — flag rows where ``cond_col ∈ cond_values`` and ``col <op>
+    limit`` (declarative form of the returned-lines-tax cross-field rule;
+    op ∈ gt/ge/lt/le). Both columns must be present."""
+    f = {"gt": pc.greater, "ge": pc.greater_equal,
+         "lt": pc.less, "le": pc.less_equal}[op]
+
+    def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
+        c = t.column(cond_col)
+        cond = np_bool(pc.is_in(c, value_set=pa.array(list(cond_values),
+                                                      type=c.type)))
+        bad = cond & np_bool(f(t.column(col), limit))
+        bad &= ~ctx.null(cond_col) & ~ctx.null(col)
+        return [(bad, severity, message)]
+    return kernel
+
+
+def unit_gate(unit_col: str, value: str) -> Callable:
+    """Gate factory: a rule applies only to rows where ``unit_col ==
+    value`` (e.g. calendar validity only for full-date units). Shared by
+    the built-in image ruleset and the JSON ruleset loader so both build
+    the identical kernel."""
+    def gate(t: pa.Table, ctx) -> np.ndarray:
+        if unit_col not in t.column_names:
+            return np.zeros(t.num_rows, dtype=bool)
+        return np_bool(pc.equal(t.column(unit_col), value))
+    return gate
+
+
 # --------------------------------------------------------- P10 conditional req
 def conditional_required(cond_col: str, cond_values: Sequence, dep_col: str,
-                         severity: Severity = "error") -> Callable:
+                         severity: Severity = "error",
+                         message: str | None = None) -> Callable:
     """P10 — if cond_col ∈ cond_values then dep_col required
     (freezing-method conditional, organoid_ruleset.py:209-217)."""
-    msg = f"'{dep_col}' is required when '{cond_col}' in {list(cond_values)}"
+    msg = message or \
+        f"'{dep_col}' is required when '{cond_col}' in {list(cond_values)}"
 
     def kernel(t: pa.Table, ctx: RuleContext) -> list[Finding]:
         c = t.column(cond_col)

@@ -42,7 +42,13 @@ _KINDS = {
         s["field"], s["other"], s["mapping"], s.get("severity", "error")),
     "conditional_required": lambda s: kernels.conditional_required(
         s["cond_field"], s["cond_values"], s["field"],
+        s.get("severity", "error"), s.get("message")),
+    "area_range": lambda s: kernels.area_range(
+        s["w_field"], s["h_field"], s["max_area"],
         s.get("severity", "error")),
+    "cond_compare": lambda s: kernels.cond_compare(
+        s["cond_field"], s["cond_values"], s["field"], s["op"], s["limit"],
+        s["message"], s.get("severity", "error")),
     "list_cardinality": lambda s: kernels.list_cardinality(
         s["field"], s.get("lo"), s.get("hi"), s.get("severity", "error")),
     "unit_pattern": lambda s: kernels.unit_pattern(
@@ -51,7 +57,9 @@ _KINDS = {
     "real_date": lambda s: kernels.real_date(
         s["field"], s.get("format", "%Y-%m-%d"),
         s.get("gate_pattern", r"^\d{4}-\d{2}-\d{2}$"),
-        s.get("severity", "error")),
+        s.get("severity", "error"),
+        gate=(kernels.unit_gate(s["unit_field"], s["unit_value"])
+              if "unit_field" in s else None)),
     "vocab_member": lambda s: kernels.vocab_member(
         s["field"], s["vocab"], s.get("severity", "error")),
     "text_label_consistent": lambda s: kernels.text_label_consistent(
@@ -66,10 +74,30 @@ def _dtype(name: str):
             "string": pa.string()}[name]
 
 
-def ruleset_from_dict(cfg: dict[str, Any]) -> RuleSet:
+def _resolve(spec: dict, context: dict | None) -> dict | None:
+    """Substitute ``"$name"`` placeholder values from ``context`` (runtime
+    data like the vocab dim-table terms, which do not belong in a versioned
+    ruleset file). A spec whose placeholder is missing/None in context is
+    SKIPPED — e.g. the vocab rules deactivate when no vocab dim is loaded,
+    matching build_image_ruleset(vocab=None)."""
+    out = {}
+    for k, v in spec.items():
+        if isinstance(v, str) and v.startswith("$"):
+            v = (context or {}).get(v[1:])
+            if v is None:
+                return None
+        out[k] = v
+    return out
+
+
+def ruleset_from_dict(cfg: dict[str, Any],
+                      context: dict | None = None) -> RuleSet:
     rs = RuleSet(key_column=cfg["key_column"],
                  sentinel_levels=dict(cfg.get("sentinel_levels", {})))
     for spec in cfg["rules"]:
+        spec = _resolve(spec, context)
+        if spec is None:
+            continue
         kind = spec["kind"]
         if kind not in _KINDS:
             raise ValueError(f"unknown rule kind {kind!r}")
@@ -78,8 +106,26 @@ def ruleset_from_dict(cfg: dict[str, Any]) -> RuleSet:
     return rs
 
 
-def ruleset_from_json(text_or_path: str) -> RuleSet:
+def ruleset_from_json(text_or_path: str,
+                      context: dict | None = None) -> RuleSet:
     if text_or_path.lstrip().startswith("{"):
-        return ruleset_from_dict(json.loads(text_or_path))
+        return ruleset_from_dict(json.loads(text_or_path), context)
     with open(text_or_path) as fh:
-        return ruleset_from_dict(json.load(fh))
+        return ruleset_from_dict(json.load(fh), context)
+
+
+def packaged_ruleset_path(name: str) -> str:
+    """Path of a ruleset JSON shipped as package data (graft of the
+    reference's rulesets-json/*.json files, constants.py:4-70 — but
+    versioned INSIDE the package instead of fetched over HTTP)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "rulesets", f"{name}.json")
+
+
+def load_packaged_ruleset(name: str, context: dict | None = None) -> RuleSet:
+    """Build a RuleSet from a shipped declarative ruleset file
+    (``rulesets/<name>.json``): image, orders, lineitem, customer, events.
+    ``context`` supplies runtime ``$placeholder`` data (e.g.
+    ``{"vocab": [...]}`` for the image vocab rules)."""
+    return ruleset_from_json(packaged_ruleset_path(name), context)
