@@ -65,6 +65,10 @@ def main(argv=None) -> int:
                        parents=[common])
     s.add_argument("--input", required=True, help="submission .json path")
     s.add_argument("--out", default=None, help="optional summary.json path")
+    s.add_argument("--strict-json", action="store_true",
+                   help="malformed/mis-shaped JSON → one structured error "
+                        "line (the reference service's HTTP-400 body, "
+                        "app.py:101-138) and exit code 2, never a traceback")
 
     args = p.parse_args(argv)
     ray = _session(args)
@@ -110,7 +114,17 @@ def main(argv=None) -> int:
             from .sources.readers import read_submission_json
             known = {"orders": ruleset_orders, "lineitem": ruleset_lineitem,
                      "customer": ruleset_customer, "events": ruleset_events}
-            dss = read_submission_json(args.input)
+            try:
+                dss = read_submission_json(args.input)
+            except (json.JSONDecodeError, ValueError) as e:
+                # reference app.py:101-138: a malformed body is a CLIENT
+                # error — structured 400-style record, no traceback
+                err = {"status": 400, "error": "malformed submission JSON",
+                       "detail": str(e), "input": args.input}
+                print(json.dumps(err))
+                if not args.strict_json:
+                    raise
+                return 2
             unknown = sorted(set(dss) - set(known))
             if unknown:
                 raise SystemExit(f"no ruleset for record types {unknown}; "

@@ -114,6 +114,62 @@ def _attach_relationships(docs_ds, captions_ds, num_partitions: int):
                         num_partitions=num_partitions, on=("image_id",))
 
 
+class ProjectCleanBatch:
+    """Actor-pool stage for CONFIG-DRIVEN per-type export projections — the
+    generic mechanism behind the reference's ~10 type-specific validators
+    (each valid record → a nested characteristics{} doc;
+    /root/reference/organism_validator.py:36-95,
+    specimen_validator.py:22-150, teleostei_post_hatching_validator.py:22-216).
+    ``ruleset`` decides validity (rows with NO error-severity finding
+    survive; warnings don't block export, reference semantics), a
+    ``characteristics`` name→column mapping decides the doc layout.
+    Takes a built RuleSet: packaged-name resolution happens DRIVER-side in
+    export_clean_rows (an in-actor import would need the package on the
+    worker's sys.path; the resolved RuleSet ships by value)."""
+
+    def __init__(self, ruleset, key_column: str, characteristics: dict):
+        self.ruleset = ruleset
+        self.key = key_column
+        self.chars = dict(characteristics)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        res = self.ruleset.evaluate(t, exemplar_cap=0)
+        clean = t.filter(pa.array(~res.error_mask))
+        struct = pa.StructArray.from_arrays(
+            [clean.column(c).combine_chunks() for c in self.chars.values()],
+            names=list(self.chars))
+        return pa.table({self.key: clean.column(self.key),
+                         "characteristics": struct})
+
+
+def export_clean_rows(ds, ruleset, key_column: str, characteristics: dict,
+                      out_dir: str | None = None, concurrency=None,
+                      batch_size: int = 4096):
+    """Generic S5 export for any record type: stream → per-batch vectorized
+    rule evaluation → error-free rows projected to nested docs → optional
+    partitioned parquet. The image flagship keeps its specialized stage
+    (decode findings + relationships join); every other type goes through
+    this one mechanism + a projection config. ``ruleset`` may be a RuleSet
+    or the name of a packaged ruleset JSON (resolved here, driver-side)."""
+    import ray
+
+    if isinstance(ruleset, str):
+        from ..rules.serde import load_packaged_ruleset
+        ruleset = load_packaged_ruleset(ruleset)
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus - 2)
+    out = ds.map_batches(
+        ProjectCleanBatch,
+        fn_constructor_kwargs=dict(ruleset=ruleset, key_column=key_column,
+                                   characteristics=characteristics),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+    return out
+
+
 def export_clean_images(images_ds, bad_keys: list[str] | None = None,
                         out_dir: str | None = None, concurrency=None,
                         batch_size: int = 512, captions_ds=None, vocab=None):

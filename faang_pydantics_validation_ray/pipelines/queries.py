@@ -2011,6 +2011,80 @@ ORDER BY o_orderkey
 """
 
 
+def _flatten_characteristics(ds, key: str, names: list[str]) -> pd.DataFrame:
+    """Vectorized un-nesting of the export docs for oracle comparison:
+    characteristics{} struct fields → plain columns (pc.struct_field, no
+    per-row Python)."""
+    def flat(t: pa.Table) -> pa.Table:
+        c = t.column("characteristics").combine_chunks()
+        cols = {key: t.column(key)}
+        for n in names:
+            cols[n] = pc.struct_field(c, n)
+        return pa.table(cols)
+
+    return (ds.map_batches(flat, batch_format="pyarrow").to_pandas()
+            .sort_values(key).reset_index(drop=True))
+
+
+def q_export_orders_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #2 (VERDICT r3 #6): orders through the
+    CONFIG-DRIVEN path — validity from the PACKAGED rulesets/orders.json
+    (all four rules, null-semantics included), valid rows projected to
+    nested characteristics{} docs by pipelines.export.export_clean_rows.
+    Returned flattened so the DuckDB oracle can hash-compare values."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "orders"), "orders", "o_orderkey",
+        {"status": "o_orderstatus", "totalprice": "o_totalprice",
+         "priority": "o_orderpriority"}, concurrency=2)
+    return _flatten_characteristics(docs, "o_orderkey",
+                                    ["status", "totalprice", "priority"])
+
+
+# Null semantics mirror the kernels exactly: enum/range/regex fire only on
+# PRESENT values (a null passes), required fires on null.
+SQL_EXPORT_ORDERS_DOCS = """
+SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice,
+       o_orderpriority AS priority
+FROM orders
+WHERE (o_orderstatus IS NULL OR o_orderstatus IN ('O','F'))
+  AND (o_totalprice IS NULL OR o_totalprice BETWEEN 0 AND 450000)
+  AND (o_orderpriority IS NULL
+       OR regexp_matches(o_orderpriority, '^[1-5]-'))
+  AND o_custkey IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+def q_export_documents_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #3: documents through the same
+    config-driven mechanism — error rules (required.text, pattern.source)
+    gate export; warning rules (urlprefix, castable.lang) do NOT block,
+    the reference's warn-rows-are-valid semantics."""
+    from .export import export_clean_rows
+    import pyarrow as _pa
+    rs = RuleSet(key_column="doc_id")
+    rs.add("required.text", "text", kernels.required("text"))
+    rs.add("pattern.source", "source", kernels.regex("source", r"^src[0-9]+$"))
+    rs.add("urlprefix.source", "source",
+           kernels.url_prefix("source", severity="warning"))
+    rs.add("castable.lang", "lang",
+           kernels.castable("lang", _pa.float64(), severity="warning"))
+    docs = export_clean_rows(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source",
+                                            "lang"]),
+        rs, "doc_id", {"source": "source", "lang": "lang"}, concurrency=2)
+    return _flatten_characteristics(docs, "doc_id", ["source", "lang"])
+
+
+SQL_EXPORT_DOCUMENTS_DOCS = """
+SELECT doc_id, source, lang FROM documents
+WHERE text IS NOT NULL
+  AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
+ORDER BY doc_id
+"""
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs via the distributed block
     cross-product (per-task memory = two normalized blocks; no full-corpus
@@ -2900,6 +2974,9 @@ QUERIES = {
     "distinct_mktsegment": q_distinct_mktsegment,
     "top2_orders_per_status": q_top2_orders_per_status,
     "export_valid_orders": q_export_valid_orders,
+    # --- new this round (config-driven per-type export projections) ---
+    "export_orders_docs": q_export_orders_docs,
+    "export_documents_docs": q_export_documents_docs,
     # --- r3-green keepers filling the rest of the 50-slot window ---
     "img_scalar_counts": q_img_scalar_counts,
     "img_cross_counts": q_img_cross_counts,
@@ -3029,6 +3106,8 @@ ORACLES = {
     "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
     "top2_orders_per_status": SQL_TOP2_ORDERS_PER_STATUS,
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
+    "export_orders_docs": SQL_EXPORT_ORDERS_DOCS,
+    "export_documents_docs": SQL_EXPORT_DOCUMENTS_DOCS,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,

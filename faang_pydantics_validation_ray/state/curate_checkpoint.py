@@ -40,7 +40,8 @@ import pyarrow.parquet as pq
 
 from .. import __version__
 from ..functions import clean, text
-from .dedup_checkpoint import _atomic_write_table, _write_manifest
+from .dedup_checkpoint import (_atomic_write_table,
+                               _manifest_current, _write_manifest)
 
 
 def _params_version(ngram: int) -> str:
@@ -69,7 +70,7 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
     # partitions, so it must exist before any partition is curated)
     bench_man = os.path.join(man_dir, "benchgrams.json")
     bench_path = os.path.join(out_dir, "benchgrams", "benchgrams.parquet")
-    if not (resume and os.path.exists(bench_man)):
+    if not (resume and _manifest_current(bench_man, version)):
         t0 = time.time()
         ds = rd.read_parquet(files, columns=[id_col, col])
 
@@ -100,7 +101,7 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
     done = 0
     for i, f in enumerate(files):
         man_path = os.path.join(man_dir, f"part={i}.json")
-        if resume and os.path.exists(man_path):
+        if resume and _manifest_current(man_path, version):
             continue
         if max_partitions is not None and done >= max_partitions:
             continue
@@ -121,8 +122,9 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
             "rows": tbl.num_rows, "wall_s": round(time.time() - t0, 3)})
         done += 1
 
-    n_done = sum(os.path.exists(os.path.join(man_dir, f"part={i}.json"))
-                 for i in range(len(files)))
+    n_done = sum(_manifest_current(
+        os.path.join(man_dir, f"part={i}.json"), version)
+        for i in range(len(files)))
     summary: dict = {
         "partitions_total": len(files), "partitions_done": n_done,
         "complete": False, "params_version": version,
@@ -133,7 +135,7 @@ def run_curate_checkpointed(input_dir: str, out_dir: str,
     # ---- stage 2: global exact dedup over the checkpointed clean rows
     # (stage 1 is never recomputed; only narrow (id, hash) rows shuffle)
     surv_man = os.path.join(man_dir, "survivors.json")
-    if not (resume and os.path.exists(surv_man)):
+    if not (resume and _manifest_current(surv_man, version)):
         t0 = time.time()
         from ray.data.aggregate import Min
         clean_ds = rd.read_parquet(os.path.join(out_dir, "clean"))

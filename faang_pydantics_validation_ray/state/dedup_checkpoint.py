@@ -55,6 +55,21 @@ def _write_manifest(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
+def _manifest_current(path: str, version: str) -> bool:
+    """A completed unit counts for resume ONLY if its manifest was written
+    under the SAME params_version — resuming with different parameters
+    (e.g. kill an ngram=4 run, resume with ngram=5) must recompute, not
+    silently mix stage outputs produced under different semantics
+    (ADVICE r3). An unreadable manifest also recomputes."""
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as fh:
+            return json.load(fh).get("params_version") == version
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
 def _params_version(num_perm: int, bands: int, k: int,
                     threshold: float) -> str:
     return (f"{__version__}:minhash(num_perm={num_perm},bands={bands},"
@@ -87,7 +102,7 @@ def run_minhash_dedup_checkpointed(input_dir: str, out_dir: str,
     done = 0
     for i, f in enumerate(files):
         man_path = os.path.join(man_dir, f"part={i}.json")
-        if resume and os.path.exists(man_path):
+        if resume and _manifest_current(man_path, version):
             continue
         if max_partitions is not None and done >= max_partitions:
             continue
@@ -113,7 +128,7 @@ def run_minhash_dedup_checkpointed(input_dir: str, out_dir: str,
     manifests = []
     for i in range(len(files)):
         mp = os.path.join(man_dir, f"part={i}.json")
-        if os.path.exists(mp):
+        if _manifest_current(mp, version):
             with open(mp) as fh:
                 manifests.append(json.load(fh))
     bands_complete = len(manifests) == len(files)
@@ -128,7 +143,7 @@ def run_minhash_dedup_checkpointed(input_dir: str, out_dir: str,
     # checkpointed band rows — stage 1 is never recomputed)
     cand_man = os.path.join(man_dir, "candidates.json")
     cand_path = os.path.join(out_dir, "candidates", "candidates.parquet")
-    if not (resume and os.path.exists(cand_man)):
+    if not (resume and _manifest_current(cand_man, version)):
         t0 = time.time()
         bands_ds = rd.read_parquet(os.path.join(out_dir, "bands"))
 
@@ -163,7 +178,7 @@ def run_minhash_dedup_checkpointed(input_dir: str, out_dir: str,
     # ---- stage 3: distributed exact-Jaccard verification
     pairs_man = os.path.join(man_dir, "pairs.json")
     pairs_path = os.path.join(out_dir, "pairs", "pairs.parquet")
-    if not (resume and os.path.exists(pairs_man)):
+    if not (resume and _manifest_current(pairs_man, version)):
         t0 = time.time()
         cand = pq.read_table(cand_path).to_pandas()
         docs = rd.read_parquet(files, columns=[id_col, col])
@@ -181,7 +196,7 @@ def run_minhash_dedup_checkpointed(input_dir: str, out_dir: str,
     # ---- stage 4: cluster resolution (union-find; past the driver bound the
     # same pairs go through connected_components_distributed)
     clus_man = os.path.join(man_dir, "clusters.json")
-    if not (resume and os.path.exists(clus_man)):
+    if not (resume and _manifest_current(clus_man, version)):
         t0 = time.time()
         pairs = pq.read_table(pairs_path).to_pandas()
         if pairs.empty:

@@ -114,3 +114,28 @@ def test_empty_partition_and_custom_params(ray_session, tmp_path_factory):
     assert empty_part.num_rows == 0
     # 8 identical docs dedup to one survivor (the min doc_id)
     assert read_survivors(out)["doc_id"].tolist() == [1]
+
+
+def test_resume_with_changed_params_recomputes(docs_dir, tmp_path_factory,
+                                               tmp_path):
+    """Killing an ngram=4 run and resuming with ngram=5 must NOT mix stage
+    outputs computed under different parameters (ADVICE r3): stale-version
+    manifests don't count as done, every unit recomputes, and the result is
+    byte-identical to a fresh ngram=5 run."""
+    out = str(tmp_path_factory.mktemp("curate_ckpt_params"))
+    s1 = run_curate_checkpointed(docs_dir, out, ngram=4, max_partitions=2)
+    assert s1["partitions_done"] == 2 and not s1["complete"]
+
+    s2 = run_curate_checkpointed(docs_dir, out, ngram=5)   # resumed, new params
+    assert s2["complete"] and s2["partitions_done"] == s2["partitions_total"]
+    assert "ngram=5" in s2["params_version"]
+    # manifests on disk all carry the new version — nothing stale survived
+    man_dir = os.path.join(out, "_manifest")
+    for f in os.listdir(man_dir):
+        with open(os.path.join(man_dir, f)) as fh:
+            assert json.load(fh).get("params_version") == s2["params_version"], f
+
+    fresh = str(tmp_path_factory.mktemp("curate_fresh_params"))
+    run_curate_checkpointed(docs_dir, fresh, ngram=5)
+    import pandas as pd
+    pd.testing.assert_frame_equal(read_survivors(out), read_survivors(fresh))

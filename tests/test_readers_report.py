@@ -163,3 +163,39 @@ def test_read_records_jsonl_closed_schema(tmp_path, ray_session):
     assert got == {("schema.unknown_column", "c"), ("schema.missing_column", "z")}
     with pytest.raises(ValueError):
         read_records_jsonl(p, expected=["a", "b"], strict=True)
+
+
+def test_cli_strict_json_maps_malformed_to_400(tmp_path):
+    """validate-submission --strict-json: a truncated/mis-shaped document
+    (the reference's provided.json failure mode) yields ONE structured
+    400-style error line + exit code 2 — never a traceback (reference
+    app.py:101-138 returns HTTP 400 with a structured body). Without the
+    flag the parse error still raises (debuggable traceback)."""
+    import json
+    import subprocess
+    import sys
+
+    def run(doc: str, *flags):
+        p = tmp_path / "provided.json"
+        p.write_text(doc)
+        return subprocess.run(
+            [sys.executable, "-m", "faang_pydantics_validation_ray.cli",
+             "validate-submission", "--input", str(p), "--num-cpus", "2",
+             *flags],
+            capture_output=True, text=True, cwd="/root/repo", timeout=180)
+
+    # truncated JSON (reference golden-file shape, cut mid-record)
+    r = run('{"orders": [{"o_orderkey": 1, "o_orderstatus": "O"', "--strict-json")
+    assert r.returncode == 2, r.stderr
+    err = json.loads(r.stdout.strip().splitlines()[-1])
+    assert err["status"] == 400 and "malformed" in err["error"]
+    assert "Traceback" not in r.stderr
+
+    # well-formed JSON, wrong shape (record type not a list) → same 400
+    r2 = run('{"orders": {"not": "a list"}}', "--strict-json")
+    assert r2.returncode == 2
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["status"] == 400
+
+    # without --strict-json the old raising behavior is preserved
+    r3 = run('{"orders": [{"o_orderkey": 1', )
+    assert r3.returncode not in (0, 2) and "Traceback" in r3.stderr
