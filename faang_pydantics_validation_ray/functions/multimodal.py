@@ -183,8 +183,10 @@ class AudioFrameSample:
         self.decoder = fake_decoder
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.decode import _binary_views
         rows = {"clip_id": [], "frame_idx": [], "pcm_mean": []}
-        for cid, buf in zip(t.column(0).to_pylist(), t.column("bytes").to_pylist()):
+        for cid, buf in zip(t.column(0).to_pylist(),
+                            _binary_views(t.column("bytes"))):
             for i, frame in enumerate(self.decoder(buf)):
                 rows["clip_id"].append(str(cid))
                 rows["frame_idx"].append(i)
