@@ -239,6 +239,48 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+_PROBE_KERNEL = r"""
+import time, numpy as np
+n = 32 * 1024 * 1024            # 3 x 256 MiB float64 working set
+b = np.random.default_rng(1).random(n); c = np.random.default_rng(2).random(n)
+a = np.empty_like(b)
+best = 0.0
+for _ in range(8):
+    t0 = time.perf_counter()
+    np.multiply(c, 2.5, out=a); a += b      # STREAM-triad-ish: 2 reads+1 write x2
+    dt = time.perf_counter() - t0
+    best = max(best, 6 * n * 8 / dt / 1e9)
+print(best)
+"""
+
+
+def run_probe(ways: int = 16) -> dict:
+    """Memory-bandwidth window-health probe (no Ray): a STREAM-triad-style
+    numpy kernel, single-process and at ``ways`` concurrent processes.
+    The round-3/round-4 scaling-battery drift source is co-tenant
+    memory-bandwidth contention that hits only the higher-parallelism leg
+    — it shows up here as a depressed many-way aggregate while the 1-way
+    number stays stable. Run before/after a battery and record both; a
+    battery whose window probe is degraded vs the recorded healthy
+    reference points should be discarded, not averaged in."""
+    def one() -> float:
+        p = subprocess.run([sys.executable, "-c", _PROBE_KERNEL],
+                           capture_output=True, text=True, check=True)
+        return float(p.stdout.strip())
+
+    single = one()
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen([sys.executable, "-c", _PROBE_KERNEL],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(ways)]
+    per = [float(p.communicate()[0].strip()) for p in procs]
+    return {"metric": "memory-bandwidth probe (STREAM-triad-style, GB/s)",
+            "single_gbps": round(single, 2), "ways": ways,
+            "aggregate_gbps": round(sum(per), 2),
+            "min_way_gbps": round(min(per), 2),
+            "wall_sec": round(time.perf_counter() - t0, 1)}
+
+
 def _scaled_docs(sf_dir: str, mult: int) -> str:
     """Deterministic synthetic corpus for the minhash scaling legs (the
     sf0.1 testdata corpus is 5k docs — floor-dominated at any cpu count).
@@ -349,6 +391,9 @@ if __name__ == "__main__":
         print(json.dumps(run_minhash_scaling(
             SF_DIR, lo=int(os.environ.get("FPV_SCALE_LO", "8")),
             hi=int(os.environ.get("FPV_SCALE_HI", "32")))))
+    elif "--probe" in sys.argv:
+        print(json.dumps(run_probe(
+            ways=int(os.environ.get("FPV_PROBE_WAYS", "16")))))
     elif "--minhash" in sys.argv:
         mult = int(os.environ.get("FPV_DOC_MULT", "40"))
         print(json.dumps(run_minhash_bench(_scaled_docs(SF_DIR, mult),

@@ -117,13 +117,13 @@ def main(argv=None) -> int:
             try:
                 dss = read_submission_json(args.input)
             except (json.JSONDecodeError, ValueError) as e:
+                if not args.strict_json:
+                    raise      # legacy path: traceback on stderr, empty stdout
                 # reference app.py:101-138: a malformed body is a CLIENT
                 # error — structured 400-style record, no traceback
                 err = {"status": 400, "error": "malformed submission JSON",
                        "detail": str(e), "input": args.input}
                 print(json.dumps(err))
-                if not args.strict_json:
-                    raise
                 return 2
             unknown = sorted(set(dss) - set(known))
             if unknown:

@@ -742,6 +742,25 @@ def _prefilter_mask(res: pd.DataFrame, ids_s: np.ndarray, mat: np.ndarray,
     return est >= cutoff
 
 
+def _distinct_estimate(ds, col: str) -> float:
+    """Approximate distinct count of ``ds[col]`` — per-block HLL partials
+    (one narrow map scan, no shuffle) merged on the driver, which receives
+    only #blocks register blobs. Used to budget-gate driver pulls whose
+    size depends on the distinct count *before* performing them (±2%
+    typical HLL error; callers apply their own safety factor)."""
+    from .sketches import HLL
+
+    def part(t: pa.Table) -> pa.Table:
+        h = HLL().add_column(t.column(col))
+        return pa.table({"hll": pa.array([h.to_bytes()], type=pa.binary())})
+
+    merged = HLL()
+    for row in ds.select_columns([col]).map_batches(
+            part, batch_format="pyarrow").take_all():
+        merged.merge(HLL.from_bytes(row["hll"]))
+    return merged.estimate()
+
+
 def minhash_near_dups_distributed(ds, col: str = "text",
                                   id_col: str = "doc_id",
                                   num_perm: int = 64, bands: int = 16,
@@ -815,9 +834,17 @@ def minhash_near_dups_distributed(ds, col: str = "text",
     sref = None
     copart = False
     if cutoff is not None:
-        cand_ids = rows.unique(id_col)
-        copart = len(cand_ids) * num_perm * 8 > sig_broadcast_budget_bytes
+        # Budget-gate FIRST, with a distributed distinct estimate — pulling
+        # rows.unique(id_col) before knowing the regime would itself
+        # materialize O(colliding corpus) ids on the driver in exactly the
+        # mass-collision case the co-partitioned path exists for. The HLL
+        # (±2%) plus a 1.1 safety factor decides the regime; the exact id
+        # list is pulled only AFTER the gate says it fits the budget, so
+        # the driver pull is bounded by construction.
+        n_cand_est = _distinct_estimate(rows, id_col) * 1.1
+        copart = n_cand_est * num_perm * 8 > sig_broadcast_budget_bytes
         if not copart:
+            cand_ids = rows.unique(id_col)
             sid, smat = _sig_matrix_from_sigs(sigs, id_col, num_perm,
                                               ids=cand_ids)
             sref = ray.put((sid, smat))
@@ -842,10 +869,11 @@ def minhash_near_dups_distributed(ds, col: str = "text",
                    .map_groups(expand_filter, batch_format="pandas"))
     else:
         # broadcast the colliding-id set for sig pruning only if the id
-        # set itself is cheap to ship; otherwise route every doc's sig
+        # set itself is cheap to ship (estimate-gated, so the driver pull
+        # is bounded by construction); otherwise route every doc's sig
         # (≤ bands rows each) and let unused ones idle in their partition
-        cand_ref = (ray.put(pa.array(sorted(set(cand_ids))))
-                    if len(cand_ids) * 32 <= sig_broadcast_budget_bytes
+        cand_ref = (ray.put(pa.array(sorted(rows.unique(id_col))))
+                    if n_cand_est * 32 <= sig_broadcast_budget_bytes
                     else None)
         sig_type = pa.list_(pa.int64(), num_perm)
 

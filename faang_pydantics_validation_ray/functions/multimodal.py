@@ -168,7 +168,12 @@ class VideoFrameSample:
 class AudioFrameSample:
     """STUB (no audio libs in container): real actor signature + output
     schema for an audio frame-sampling stage; raises on use unless given a
-    deterministic fake decoder."""
+    deterministic fake decoder.
+
+    ``fake_decoder`` receives each payload as a buffer-protocol object
+    (a zero-copy memoryview slice of the Arrow binary column, NOT bytes) —
+    wrap with ``bytes(buf)`` inside the decoder if a real codec needs an
+    owned bytes object."""
 
     OUTPUT_SCHEMA = pa.schema([
         ("clip_id", pa.string()), ("frame_idx", pa.int32()),

@@ -326,6 +326,9 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["sum_value"] = out["sum_value"].round(4)
     out["n"] = out["n"].astype("int64")
+    # floor_temporal yields second precision; oracle (DuckDB date_trunc)
+    # yields microseconds — normalize so the dtypes match, not just values
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
@@ -1012,13 +1015,20 @@ def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     star_cap = 64
     pairs = dedup.minhash_near_dups_distributed(ds, threshold=0.6,
                                                 star_cap=star_cap)
-    # exact-oracle precondition (d): a duplicate cluster larger than
+    # exact-oracle precondition (d): an IDENTICAL-doc cluster larger than
     # star_cap would be reported hub-edges-only while the SQL reports all
     # C(n,2) pairs — fail loudly instead of hash-mismatching silently.
-    comps = dedup.cluster_pairs(pairs)
+    # Only jaccard==1.0 edges count: identical shingle sets share every
+    # band bucket, so capping provably loses their non-hub pairs; a
+    # transitive CHAIN of distinct near-dups can form an arbitrarily large
+    # component without any single bucket exceeding the cap and must not
+    # abort a correct result. (Post-capping, an oversized identical cluster
+    # still surfaces as one star-shaped j==1.0 component of its full size.)
+    ident = pairs[pairs["jaccard"] == 1.0]
+    comps = dedup.cluster_pairs(ident)
     if len(comps) and comps.groupby("cluster_id").size().max() > star_cap:
         raise AssertionError(
-            "duplicate cluster exceeds star_cap: exact-oracle equality "
+            "identical-doc cluster exceeds star_cap: exact-oracle equality "
             "precondition (d) violated; see SQL_MINHASH_NEARDUP_DOCUMENTS")
     return pairs
 
@@ -1628,7 +1638,11 @@ def q_rules_part_ontology(sf_dir: str) -> pd.DataFrame:
                              "p_brand": pa.array([], type=pa.string()),
                              "cnt": pa.array([], type=pa.int64())})
         g = sub.group_by(["p_type", "p_brand"]).aggregate([([], "count_all")])
-        return g.rename_columns(["p_type", "p_brand", "cnt"])
+        # rename by NAME, not position: the key-vs-aggregate column order of
+        # group_by().aggregate() output has differed across pyarrow versions
+        g = g.rename_columns([{"count_all": "cnt"}.get(c, c)
+                              for c in g.column_names])
+        return g.select(["p_type", "p_brand", "cnt"])
 
     parts = (_read(sf_dir, "part", columns=["p_type", "p_brand"])
              .map_batches(part_batch, batch_format="pyarrow").to_pandas())
@@ -1755,8 +1769,11 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
         both = pa.concat_tables(parts)
         g = both.group_by(["window_start", "event_type"]).aggregate(
             [([], "count_all"), ("value", "sum")])
-        return g.rename_columns(["window_start", "event_type", "n",
-                                 "sum_value"])
+        # rename by NAME, not position (pyarrow group_by output column
+        # order is version-dependent)
+        g = g.rename_columns([{"count_all": "n", "value_sum": "sum_value"}
+                              .get(c, c) for c in g.column_names])
+        return g.select(["window_start", "event_type", "n", "sum_value"])
 
     out = (ds.map_batches(expand, batch_format="pyarrow")
            .groupby(["window_start", "event_type"])
@@ -1765,6 +1782,8 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["sum_value"] = out["sum_value"].round(4)
     out["n"] = out["n"].astype("int64")
+    # second → microsecond precision, matching the DuckDB oracle dtype
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 

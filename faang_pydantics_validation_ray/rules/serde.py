@@ -13,6 +13,7 @@ Supported kinds map 1:1 onto the kernel factories in :mod:`.kernels`.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from . import kernels
@@ -74,18 +75,42 @@ def _dtype(name: str):
             "string": pa.string()}[name]
 
 
+_PLACEHOLDER = re.compile(r"^\$[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _resolve(spec: dict, context: dict | None) -> dict | None:
     """Substitute ``"$name"`` placeholder values from ``context`` (runtime
     data like the vocab dim-table terms, which do not belong in a versioned
-    ruleset file). A spec whose placeholder is missing/None in context is
-    SKIPPED — e.g. the vocab rules deactivate when no vocab dim is loaded,
-    matching build_image_ruleset(vocab=None)."""
+    ruleset file).
+
+    Resolution is FAIL-CLOSED: a malformed placeholder raises, and a
+    placeholder absent from a *provided* context raises (a typo'd context
+    key must not silently deactivate validation). Deactivation is explicit
+    only — ``context=None`` (no runtime data loaded) or the key present with
+    value ``None`` skips the rule, matching ``build_image_ruleset(vocab=None)``.
+    A literal leading ``$`` in a spec value is escaped as ``$$``."""
     out = {}
     for k, v in spec.items():
-        if isinstance(v, str) and v.startswith("$"):
-            v = (context or {}).get(v[1:])
+        if isinstance(v, str) and v.startswith("$$"):
+            v = v[1:]                       # escaped literal "$..."
+        elif isinstance(v, str) and v.startswith("$"):
+            if not _PLACEHOLDER.match(v):
+                raise ValueError(
+                    f"malformed placeholder {v!r} in rule spec "
+                    f"{spec.get('rule_id') or spec.get('kind')!r}: "
+                    "placeholders are '$name'; escape a literal leading "
+                    "'$' as '$$'")
+            name = v[1:]
+            if context is None:
+                return None                 # no runtime data → rule off
+            if name not in context:
+                raise KeyError(
+                    f"placeholder '${name}' not found in context keys "
+                    f"{sorted(context)}; pass context[{name!r}] (or None "
+                    "to deactivate the rule), or omit context entirely")
+            v = context[name]
             if v is None:
-                return None
+                return None                 # explicit deactivation
         out[k] = v
     return out
 

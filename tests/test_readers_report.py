@@ -196,6 +196,8 @@ def test_cli_strict_json_maps_malformed_to_400(tmp_path):
     assert r2.returncode == 2
     assert json.loads(r2.stdout.strip().splitlines()[-1])["status"] == 400
 
-    # without --strict-json the old raising behavior is preserved
+    # without --strict-json the old raising behavior is preserved — and
+    # stdout stays EMPTY (the 400 line is a --strict-json-only contract)
     r3 = run('{"orders": [{"o_orderkey": 1', )
     assert r3.returncode not in (0, 2) and "Traceback" in r3.stderr
+    assert r3.stdout.strip() == ""

@@ -43,6 +43,45 @@ def test_json_ruleset_end_to_end():
     assert ("enum.status", "d", "error") not in got          # sentinel masked out
 
 
+def test_placeholder_resolution_fails_closed():
+    """Placeholders must never silently deactivate validation: a malformed
+    placeholder raises, a placeholder missing from a PROVIDED context raises
+    (typo protection), '$$' escapes a literal leading '$', and deactivation
+    happens only explicitly (context=None, or the key present with None)."""
+    import pytest
+
+    from faang_pydantics_validation_ray.rules.serde import ruleset_from_dict
+
+    base = {"key_column": "id", "rules": [
+        {"kind": "enum", "field": "status", "allowed": "$allowed"}]}
+    t = pa.table({"id": ["a", "b"], "status": ["ok", "nope"]})
+
+    # resolved placeholder: rule active
+    rs = ruleset_from_dict(base, context={"allowed": ["ok"]})
+    assert rs.evaluate(t).violations.num_rows == 1
+    # context omitted entirely, or key explicitly None → rule deactivates
+    assert ruleset_from_dict(base).evaluate(t).violations.num_rows == 0
+    assert ruleset_from_dict(base, context={"allowed": None}) \
+        .evaluate(t).violations.num_rows == 0
+    # typo'd context key must raise, not silently skip the rule
+    with pytest.raises(KeyError, match=r"\$allowed"):
+        ruleset_from_dict(base, context={"alowed": ["ok"]})
+    # a literal '$...' string is not a placeholder: malformed → loud error
+    bad = {"key_column": "id", "rules": [
+        {"kind": "regex", "field": "id", "pattern": "^a$",
+         "message": "$100 minimum"}]}
+    with pytest.raises(ValueError, match="escape"):
+        ruleset_from_dict(bad)
+    # '$$' escape produces the literal leading-'$' value
+    esc = {"key_column": "id", "rules": [
+        {"kind": "regex", "field": "id", "pattern": "^a$",
+         "message": "$$100 minimum", "rule_id": "regex.id"}]}
+    rs = ruleset_from_dict(esc)
+    res = rs.evaluate(t)
+    assert res.violations.num_rows == 1
+    assert res.violations.column("message").to_pylist() == ["$100 minimum"]
+
+
 def test_json_ruleset_new_kinds():
     """Round-2 kinds: unit-dispatched date pattern, real-date round-trip,
     vocab membership, text↔label consistency."""
