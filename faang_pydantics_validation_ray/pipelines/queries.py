@@ -1432,11 +1432,21 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 # ------------------------------------------------------------------- ANN
 
 
+def _query_vectors(sf_dir: str, n: int, dtype=None) -> np.ndarray:
+    """The first-``n`` embedding vectors (``vec_id < n``), read with a
+    parquet predicate pushed into the scan: only row groups whose vec_id
+    statistics overlap [0, n) leave storage. The previous full-table
+    driver-side ``read_table`` was a whole-dataset materialization hiding in
+    a 3-row lookup — at open-web scale that read is the OOM, not the query."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)]).sort_by("vec_id")
+    return np.stack([np.asarray(x, dtype=dtype)
+                     for x in t.column("embedding").to_pylist()])
+
+
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
-    queries = np.stack([np.asarray(x) for x in
-                        qt.column("embedding").to_pylist()])
+    queries = _query_vectors(sf_dir, 3)
     out = ann.topk_cosine(_read(sf_dir, "embeddings"), queries, k=5)
     out["score"] = out["score"].round(4)
     out["query_id"] = out["query_id"].astype("int64")
@@ -1457,10 +1467,7 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
-    queries = np.stack([np.asarray(x) for x in
-                        qt.column("embedding").to_pylist()])
+    queries = _query_vectors(sf_dir, 3)
     out = ann.lsh_topk_cosine(_read(sf_dir, "embeddings"), queries, k=5,
                               n_planes=10, probes=2)
     out["score"] = out["score"].round(4)
@@ -1478,10 +1485,7 @@ def q_cluster_embeddings(sf_dir: str) -> pd.DataFrame:
     import ray
 
     from ray.data.aggregate import Sum
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ct = t.filter(pc.less(t.column("vec_id"), 8)).sort_by("vec_id")
-    cents = ann._normalize(np.stack([np.asarray(x, dtype=np.float64)
-                                     for x in ct.column("embedding").to_pylist()]))
+    cents = ann._normalize(_query_vectors(sf_dir, 8, dtype=np.float64))
     cref = ray.put(cents)
 
     def partial(tb: pa.Table) -> pa.Table:
@@ -2133,10 +2137,7 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
     max_cluster_size bounds per-task memory on skewed clusters (hash-of-id
     shards, VERDICT r2 #3) — far above any test-SF cluster size, so the
     EXISTS oracle semantics stay exact here."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ct = t.filter(pc.less(t.column("vec_id"), 8)).sort_by("vec_id")
-    cents = np.stack([np.asarray(x, dtype=np.float64)
-                      for x in ct.column("embedding").to_pylist()])
+    cents = _query_vectors(sf_dir, 8, dtype=np.float64)
     return dedup.semdedup(_read(sf_dir, "embeddings"), cents, eps=0.4,
                           max_cluster_size=8192)
 
@@ -2173,9 +2174,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN (k-means coarse quantizer, n_probe lists per query)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = t.filter(pc.less(t.column("vec_id"), 3)).sort_by("vec_id")
-    queries = np.stack([np.asarray(x) for x in qt.column("embedding").to_pylist()])
+    queries = _query_vectors(sf_dir, 3)
     out = ann.ivf_topk_cosine(_read(sf_dir, "embeddings"), queries, k=5)
     out["score"] = out["score"].round(4)
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
