@@ -2108,6 +2108,59 @@ ORDER BY doc_id
 """
 
 
+def q_export_customer_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #4: customer through the PACKAGED
+    rulesets/customer.json (reference analog: one more of the ~10
+    type-specific BioSamples validators, organism_validator.py:36-95 /
+    specimen_validator.py:22-150). range.c_acctbal is warning-severity so
+    it does NOT block export; only pattern.c_name (error) gates."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]),
+        "customer", "c_custkey",
+        {"name": "c_name", "acctbal": "c_acctbal",
+         "mktsegment": "c_mktsegment"}, concurrency=2)
+    return _flatten_characteristics(docs, "c_custkey",
+                                    ["name", "acctbal", "mktsegment"])
+
+
+SQL_EXPORT_CUSTOMER_DOCS = """
+SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+       c_mktsegment AS mktsegment
+FROM customer
+WHERE (c_name IS NULL OR regexp_matches(c_name, '^Customer#'))
+ORDER BY c_custkey
+"""
+
+
+def q_export_events_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #5: events through the PACKAGED
+    rulesets/events.json — enum.event_type (error, fires only on present
+    values) and required.props (error, fires on null) gate export;
+    range.value (warning) does not block."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value", "user_id",
+                       "props"]),
+        "events", "event_id",
+        {"event_type": "event_type", "value": "value",
+         "user_id": "user_id"}, concurrency=2)
+    return _flatten_characteristics(docs, "event_id",
+                                    ["event_type", "value", "user_id"])
+
+
+SQL_EXPORT_EVENTS_DOCS = """
+SELECT event_id, event_type, value, user_id
+FROM events
+WHERE (event_type IS NULL
+       OR event_type IN ('purchase','error','view','click','signup'))
+  AND props IS NOT NULL
+ORDER BY event_id
+"""
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs via the distributed block
     cross-product (per-task memory = two normalized blocks; no full-corpus
@@ -2995,6 +3048,8 @@ QUERIES = {
     # --- new this round (config-driven per-type export projections) ---
     "export_orders_docs": q_export_orders_docs,
     "export_documents_docs": q_export_documents_docs,
+    "export_customer_docs": q_export_customer_docs,
+    "export_events_docs": q_export_events_docs,
     # --- r3-green keepers filling the rest of the 50-slot window ---
     "img_scalar_counts": q_img_scalar_counts,
     "img_cross_counts": q_img_cross_counts,
@@ -3126,6 +3181,8 @@ ORACLES = {
     "export_valid_orders": SQL_EXPORT_VALID_ORDERS,
     "export_orders_docs": SQL_EXPORT_ORDERS_DOCS,
     "export_documents_docs": SQL_EXPORT_DOCUMENTS_DOCS,
+    "export_customer_docs": SQL_EXPORT_CUSTOMER_DOCS,
+    "export_events_docs": SQL_EXPORT_EVENTS_DOCS,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
