@@ -3050,6 +3050,8 @@ QUERIES = {
     "export_documents_docs": q_export_documents_docs,
     "export_customer_docs": q_export_customer_docs,
     "export_events_docs": q_export_events_docs,
+    # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
+    "img_summary": q_img_summary,
     # --- r3-green keepers filling the rest of the 50-slot window ---
     "img_scalar_counts": q_img_scalar_counts,
     "img_cross_counts": q_img_cross_counts,
@@ -3110,7 +3112,6 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "neardup_clusters_documents": q_neardup_clusters_documents,
-    "img_summary": q_img_summary,
     "img_violation_counts": q_img_violation_counts,
     "img_verdicts": q_img_verdicts,
     "img_features": q_img_features,
