@@ -283,11 +283,28 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                            "field", "message"], kind="mergesort")
         return v.groupby(["rule_id", "severity"], sort=False).head(_gcap)
 
+    def _concat_nonempty(parts: list[pd.DataFrame]) -> pd.DataFrame:
+        # all parts are slices of the same frame (identical dtypes), so
+        # dropping zero-row parts reproduces pandas' legacy concat dtype
+        # rule exactly while avoiding its empty-entry FutureWarning
+        ne = [p for p in parts if len(p)]
+        if not ne:
+            return parts[0]
+        if len(ne) == 1:
+            return ne[0].reset_index(drop=True)
+        # every part carries the same column dtypes (slices of one frame, or
+        # tuple-built rows concatenated with at least one same-dtype slice),
+        # so pandas' pending all-NA-column dtype-inference change cannot
+        # alter the result — silence just that FutureWarning
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            return pd.concat(ne, ignore_index=True)
+
     def _agg_pass(g: pd.DataFrame) -> pd.DataFrame:
-        keep = pd.concat(
+        keep = _concat_nonempty(
             [g[g["kind"].isin(("batch_stat", "rule_count"))][_AGG_COLS],
-             _head_exemplars(g[g["kind"] == "violation"][_AGG_COLS])],
-            ignore_index=True)
+             _head_exemplars(g[g["kind"] == "violation"][_AGG_COLS])])
         sk_g = g[g["kind"] == "sketch"]
         if not len(sk_g):
             return keep
@@ -299,8 +316,8 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
                 prof.merge(ColumnProfile.from_bytes(b))
             out.append(("sketch", None, None, pid, None, None, None, None,
                         colname, prof.to_bytes(), None, None, None))
-        return pd.concat(
-            [keep, pd.DataFrame(out, columns=_AGG_COLS)], ignore_index=True)
+        return _concat_nonempty(
+            [keep, pd.DataFrame(out, columns=_AGG_COLS)])
 
     agg = events.map_batches(_agg_pass, batch_format="pandas").to_pandas()
 
