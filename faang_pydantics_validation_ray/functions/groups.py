@@ -312,6 +312,23 @@ def fused_counts_from_partials(own_tagged: "rd.Dataset",
 
 
 NS_ID, NS_PHASH = 0, 1     # key namespaces in the hashed fused exchange
+# Wire encoding of the exchange rows: the count SLOT (own / cap / cat) is
+# folded into the namespace byte instead of travelling as three mostly-zero
+# int64 columns — wire rows are (ns:int8, kh:int64, cnt:int64), 17 bytes vs
+# 33, so the all-to-all sorts and ships ~2× fewer bytes. The reducer pivots
+# slots back into (own_cnt, cap_cnt, cat_cnt) per (base-ns, kh).
+_SLOT_IDX = {"own_cnt": 0, "cap_cnt": 1, "cat_cnt": 2}
+
+
+def wire_ns(ns: int, slot: str) -> int:
+    """Namespace byte for the 3-column hashed exchange: base ns × 4 + slot."""
+    return ns * 4 + _SLOT_IDX[slot]
+
+
+def _empty_wire_table() -> pa.Table:
+    return pa.table({"ns": pa.array([], type=pa.int8()),
+                     "kh": pa.array([], type=pa.int64()),
+                     "cnt": pa.array([], type=pa.int64())})
 
 
 def _hashed_batch_counts(t: pa.Table, key_col: str, ns: int,
@@ -319,31 +336,25 @@ def _hashed_batch_counts(t: pa.Table, key_col: str, ns: int,
     """Per-batch combined (ns, kh, cnt) partials for the HASHED fused
     exchange: string keys become their deterministic 64-bit SipHash
     (functions/hashing.hash_column), integer keys (phash) pass through
-    raw — fixed-width rows instead of tagged strings, so the all-to-all
-    moves ~2.5× fewer bytes and the reducer groupby runs on int64, not
-    object dtype. ``slot`` names which count column this side fills
-    (own_cnt / cap_cnt / cat_cnt)."""
+    raw — fixed-width 17-byte rows instead of tagged strings, so the
+    all-to-all moves ~5× fewer bytes and the reducer pivot runs on int64,
+    not object dtype. ``slot`` names which count the row carries
+    (own_cnt / cap_cnt / cat_cnt); it rides inside the ns byte
+    (:func:`wire_ns`)."""
 
     c = _batch_key_counts(t, key_col)
     n = c.num_rows
     if n == 0:
-        return pa.table({"ns": pa.array([], type=pa.int8()),
-                         "kh": pa.array([], type=pa.int64()),
-                         "own_cnt": pa.array([], type=pa.int64()),
-                         "cap_cnt": pa.array([], type=pa.int64()),
-                         "cat_cnt": pa.array([], type=pa.int64())})
+        return _empty_wire_table()
     keys = c.column(key_col)
     if pa.types.is_integer(keys.type):
         kh = np.asarray(keys.cast(pa.int64())).astype(np.int64)
     else:
         kh = hash_column(keys).view(np.int64)
-    zero = np.zeros(n, dtype=np.int64)
-    cols = {"own_cnt": zero, "cap_cnt": zero, "cat_cnt": zero}
-    cols[slot] = np.asarray(c.column("cnt").cast(pa.int64()))
-    return pa.table({"ns": pa.array(np.full(n, ns, dtype=np.int8)),
-                     "kh": pa.array(kh), "own_cnt": pa.array(cols["own_cnt"]),
-                     "cap_cnt": pa.array(cols["cap_cnt"]),
-                     "cat_cnt": pa.array(cols["cat_cnt"])})
+    return pa.table({"ns": pa.array(np.full(n, wire_ns(ns, slot),
+                                            dtype=np.int8)),
+                     "kh": pa.array(kh),
+                     "cnt": np.asarray(c.column("cnt").cast(pa.int64()))})
 
 
 def recover_exact_counts(ds: "rd.Dataset", key_col: str,
@@ -386,8 +397,9 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
                         num_partitions: int | None = None,
                         ) -> tuple[pd.DataFrame, pd.DataFrame,
                                    pd.DataFrame, pd.DataFrame]:
-    """The fused cross-record exchange over HASHED keys (ns:int8, kh:int64,
-    own/cap/cat partial counts) — all rows fixed-width, no strings cross the
+    """The fused cross-record exchange over HASHED keys — wire rows are
+    (ns:int8, kh:int64, cnt:int64) with the count slot folded into the ns
+    byte (:func:`wire_ns`), all fixed-width, no strings cross the
     all-to-all. Semantics match :func:`fused_counts_from_partials`:
 
     - near-dup: phash keys ride raw in ``kh`` — counts are exact, no
@@ -402,9 +414,9 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
       present image key is silently resolved — probability ≈ n/2^64 per key
       (≈5e-8 at 10^12 rows), the documented exactness bound of this path.
 
-    ``own_hashed`` rows: (ns, kh, own_cnt, cap_cnt, cat_cnt). When no
-    candidates survive the exchange, the recovery passes are skipped
-    entirely (zero extra scans on clean data)."""
+    ``own_hashed`` rows: (ns, kh, cnt) with ns pre-encoded via
+    :func:`wire_ns`. When no candidates survive the exchange, the recovery
+    passes are skipped entirely (zero extra scans on clean data)."""
     from ..runtime import shuffle_partitions
 
     P = num_partitions or shuffle_partitions()
@@ -423,15 +435,43 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
                        .view(np.uint64))
         return t.append_column("_p", pa.array((h % P).astype(np.int64)))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(["ns", "kh"], sort=False)
-               [["own_cnt", "cap_cnt", "cat_cnt"]].sum().reset_index())
-        return out[(out["own_cnt"] >= min_count)
-                   | ((out["own_cnt"] == 0) & (out["cap_cnt"] > 0))]
+    def combine(t: pa.Table) -> pa.Table:
+        # Pivot the slot-encoded wire rows back to per-(base-ns, key) count
+        # triples — pure numpy on int64, one np.unique per base namespace.
+        ns = np.asarray(t.column("ns"))
+        kh = np.asarray(t.column("kh"))
+        cnt = np.asarray(t.column("cnt"))
+        outs = []
+        for base in np.unique(ns >> 2):
+            bm = (ns >> 2) == base
+            u, inv = np.unique(kh[bm], return_inverse=True)
+            sums = np.zeros((3, len(u)), dtype=np.int64)
+            slot = ns[bm] & 3
+            bc, bi = cnt[bm], inv
+            for s in range(3):
+                sm = slot == s
+                if sm.any():
+                    np.add.at(sums[s], bi[sm], bc[sm])
+            own_c, cap_c, cat_c = sums
+            keep = (own_c >= min_count) | ((own_c == 0) & (cap_c > 0))
+            outs.append(pa.table({
+                "ns": pa.array(np.full(int(keep.sum()), base, dtype=np.int8)),
+                "kh": pa.array(u[keep]), "own_cnt": pa.array(own_c[keep]),
+                "cap_cnt": pa.array(cap_c[keep]),
+                "cat_cnt": pa.array(cat_c[keep])}))
+        if not outs:
+            return pa.table({"ns": pa.array([], pa.int8()),
+                             "kh": pa.array([], pa.int64()),
+                             "own_cnt": pa.array([], pa.int64()),
+                             "cap_cnt": pa.array([], pa.int64()),
+                             "cat_cnt": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
 
     interesting = (tagged.map_batches(add_p, batch_format="pyarrow")
-                   .groupby("_p").map_groups(combine, batch_format="pandas")
+                   .groupby("_p").map_groups(combine, batch_format="pyarrow")
                    .to_pandas())
+    if "_p" in interesting.columns:       # empty-group passthrough artifact
+        interesting = interesting.drop(columns=["_p"])
     empty = (pd.DataFrame({id_col: [], "cnt": []}),
              pd.DataFrame({id_col: [], "left_cnt": []}),
              pd.DataFrame({phash_col: [], "cnt": []}),

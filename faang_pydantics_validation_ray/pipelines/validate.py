@@ -222,16 +222,15 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         # broadcast filter pass that runs only when candidates exist).
         def _own_partials(t: pa.Table) -> pa.Table:
             sub = t.filter(pc.equal(t.column("kind"), "key_count"))
-            n = sub.num_rows
-            ns = pc.if_else(pc.equal(sub.column("col"), "p"),
-                            pa.scalar(groups.NS_PHASH, type=pa.int8()),
-                            pa.scalar(groups.NS_ID, type=pa.int8()))
-            zero = pa.array(np.zeros(n, dtype=np.int64))
+            ns = pc.if_else(
+                pc.equal(sub.column("col"), "p"),
+                pa.scalar(groups.wire_ns(groups.NS_PHASH, "own_cnt"),
+                          type=pa.int8()),
+                pa.scalar(groups.wire_ns(groups.NS_ID, "own_cnt"),
+                          type=pa.int8()))
             return pa.table({"ns": ns,
                              "kh": pc.cast(sub.column("kh"), pa.int64()),
-                             "own_cnt": pc.cast(sub.column("count"),
-                                                pa.int64()),
-                             "cap_cnt": zero, "cat_cnt": zero})
+                             "cnt": pc.cast(sub.column("count"), pa.int64())})
 
         own_hashed = events_all.map_batches(_own_partials,
                                             batch_format="pyarrow")
