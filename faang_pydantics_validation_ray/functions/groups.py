@@ -395,6 +395,8 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
                         min_count: int = 2,
                         catalog_keys: "rd.Dataset | None" = None,
                         num_partitions: int | None = None,
+                        neardup_min: int | None = None,
+                        exemplar_k: int | None = None,
                         ) -> tuple[pd.DataFrame, pd.DataFrame,
                                    pd.DataFrame, pd.DataFrame]:
     """The fused cross-record exchange over HASHED keys — wire rows are
@@ -416,7 +418,12 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
 
     ``own_hashed`` rows: (ns, kh, cnt) with ns pre-encoded via
     :func:`wire_ns`. When no candidates survive the exchange, the recovery
-    passes are skipped entirely (zero extra scans on clean data)."""
+    passes are skipped entirely (zero extra scans on clean data).
+
+    With ``exemplar_k`` set, ``near`` is filtered to ``cnt >= neardup_min``
+    and gains an ``exemplars`` column (the k smallest row keys per phash,
+    byte-identical to :func:`collect_exemplars`), collected inside the SAME
+    fused recovery scan as dup/ref recovery instead of a separate pass."""
     from ..runtime import shuffle_partitions
 
     P = num_partitions or shuffle_partitions()
@@ -484,20 +491,121 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
     ph = ph[ph["own_cnt"] >= min_count]
     near = pd.DataFrame({phash_col: ph["kh"].astype("int64").to_numpy(),
                          "cnt": ph["own_cnt"].astype("int64").to_numpy()})
+    if neardup_min is not None:
+        near = near[near["cnt"] >= neardup_min].reset_index(drop=True)
 
     img = interesting[interesting["ns"] == NS_ID]
     dup_h = img[img["own_cnt"] >= min_count]["kh"].to_numpy(np.int64)
-    if len(dup_h) and narrow is not None:
-        rec = recover_exact_counts(narrow, id_col, dup_h)
-        dup = (rec[rec["cnt"] >= min_count][[id_col, "cnt"]]
-               .reset_index(drop=True))
-
     unresolved = img[(img["own_cnt"] == 0) & (img["cap_cnt"] > 0)]
     miss_h = unresolved[unresolved["cat_cnt"] == 0]["kh"].to_numpy(np.int64)
     ext_h = unresolved[unresolved["cat_cnt"] > 0]["kh"].to_numpy(np.int64)
-    if (len(miss_h) or len(ext_h)) and captions_keys is not None:
-        rec = recover_exact_counts(
-            captions_keys, id_col, np.concatenate([miss_h, ext_h]))
+
+    need_dup = bool(len(dup_h)) and narrow is not None
+    need_ref = bool(len(miss_h) or len(ext_h)) and captions_keys is not None
+    need_ex = (exemplar_k is not None and len(near) and narrow is not None)
+    if not (need_dup or need_ref or need_ex):
+        if exemplar_k is not None:
+            near = near.assign(
+                exemplars=[[] for _ in range(len(near))])
+        return dup, missing, near, external
+
+    # ---- ONE fused recovery scan (narrow ∪ captions) replaces what used
+    # to be three separate Dataset executions (dup-id recovery over narrow,
+    # missing-ref recovery over captions, near-dup exemplar collection over
+    # narrow again) — each a full column scan plus per-execution fixed cost
+    # per timed run. Partials are tagged by kind: 0 = dup-key exact counts,
+    # 1 = caption-ref exact counts, 2 = near-dup exemplar rows.
+    import ray
+
+    dup_ref = ray.put(np.sort(dup_h.view(np.uint64))) if need_dup else None
+    ref_ref = (ray.put(np.sort(np.concatenate([miss_h, ext_h])
+                               .view(np.uint64))) if need_ref else None)
+    near_ref = (ray.put(pa.array(near[phash_col].astype("int64")))
+                if need_ex else None)
+    k = exemplar_k or 0
+
+    def _empty_parts() -> pa.Table:
+        return pa.table({"kind": pa.array([], pa.int8()),
+                         "key": pa.array([], pa.string()),
+                         "ph": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+
+    def _member(sorted_h: np.ndarray, kh: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(sorted_h, kh)
+        return ((idx < len(sorted_h))
+                & (sorted_h[np.minimum(idx, len(sorted_h) - 1)] == kh))
+
+    def _count_partial(t: pa.Table, ref, kind: int) -> pa.Table | None:
+        c = _batch_key_counts(t, id_col)
+        if c.num_rows == 0:
+            return None
+        kh = hash_column(c.column(id_col)).view(np.uint64)
+        sub = c.filter(pa.array(_member(ray.get(ref), kh)))
+        if sub.num_rows == 0:
+            return None
+        n = sub.num_rows
+        return pa.table({"kind": pa.array(np.full(n, kind, dtype=np.int8)),
+                         "key": pc.cast(sub.column(id_col), pa.string()),
+                         "ph": pa.array(np.zeros(n, dtype=np.int64)),
+                         "cnt": pc.cast(sub.column("cnt"), pa.int64())})
+
+    def emit_narrow(t: pa.Table) -> pa.Table:
+        outs = []
+        if dup_ref is not None:
+            p = _count_partial(t, dup_ref, 0)
+            if p is not None:
+                outs.append(p)
+        if near_ref is not None:
+            wanted = ray.get(near_ref)
+            m = pc.is_in(t.column(phash_col),
+                         value_set=wanted.cast(t.column(phash_col).type))
+            sub = (t.filter(pc.fill_null(m, False))
+                   .select([phash_col, id_col]))
+            if sub.num_rows:
+                # k-SMALLEST row keys per phash within the batch — exactly
+                # collect_exemplars' map-side head, so the global sorted
+                # head below is the global k-smallest
+                df = (sub.to_pandas().sort_values(id_col)
+                      .groupby(phash_col, sort=False).head(k))
+                n = len(df)
+                outs.append(pa.table({
+                    "kind": pa.array(np.full(n, 2, dtype=np.int8)),
+                    "key": pa.array(df[id_col].astype(str).to_numpy()),
+                    "ph": pa.array(df[phash_col].astype("int64").to_numpy()),
+                    "cnt": pa.array(np.ones(n, dtype=np.int64))}))
+        return pa.concat_tables(outs) if outs else _empty_parts()
+
+    def emit_cap(t: pa.Table) -> pa.Table:
+        p = _count_partial(t, ref_ref, 1)
+        return p if p is not None else _empty_parts()
+
+    sides = []
+    if need_dup or need_ex:
+        sides.append(narrow.map_batches(emit_narrow, batch_format="pyarrow"))
+    if need_ref:
+        sides.append(captions_keys.map_batches(emit_cap,
+                                               batch_format="pyarrow"))
+    uni = sides[0] if len(sides) == 1 else sides[0].union(*sides[1:])
+    if need_ex:
+        # two consumers below — materialize the (aggregate-sized) partials
+        # so the narrow/captions scans run once
+        uni = uni.materialize()
+
+    counts = (uni.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas()
+        if (need_dup or need_ref) else pd.DataFrame(
+            {"kind": [], "key": [], "ph": [], "cnt": []}))
+    if need_dup:
+        rec = counts[counts["kind"] == 0]
+        rec = (rec.groupby("key", sort=False)["cnt"].sum().reset_index()
+               .rename(columns={"key": id_col}).astype({"cnt": "int64"}))
+        dup = (rec[rec["cnt"] >= min_count][[id_col, "cnt"]]
+               .reset_index(drop=True))
+    if need_ref:
+        rec = counts[counts["kind"] == 1]
+        rec = (rec.groupby("key", sort=False)["cnt"].sum().reset_index()
+               .rename(columns={"key": id_col}).astype({"cnt": "int64"}))
         if len(rec):
             rh = hash_column(pa.array(rec[id_col])).view(np.int64)
             in_miss = np.isin(rh, miss_h)
@@ -505,6 +613,25 @@ def fused_counts_hashed(own_hashed: "rd.Dataset",
             missing = rec[in_miss][[id_col, "left_cnt"]].reset_index(drop=True)
             external = (rec[~in_miss][[id_col, "left_cnt"]]
                         .reset_index(drop=True))
+    if exemplar_k is not None:
+        if need_ex:
+            exparts = (uni.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), 2)),
+                batch_format="pyarrow")
+                .groupby("ph")
+                .map_groups(lambda g: g.sort_values("key").head(k),
+                            batch_format="pandas")
+                .to_pandas())
+            ex = (exparts.groupby("ph")["key"]
+                  .apply(lambda s: [str(v) for v in s.head(k)])
+                  .rename("exemplars").reset_index()
+                  .rename(columns={"ph": phash_col}))
+            near = near.merge(ex, on=phash_col, how="left")
+            near["exemplars"] = near["exemplars"].apply(
+                lambda v: v if isinstance(v, list) else [])
+            near = near.reset_index(drop=True)
+        else:
+            near = near.assign(exemplars=[[] for _ in range(len(near))])
     return dup, missing, near, external
 
 

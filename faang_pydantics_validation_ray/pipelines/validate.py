@@ -234,24 +234,22 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
 
         own_hashed = events_all.map_batches(_own_partials,
                                             batch_format="pyarrow")
-        dup, missing, near_cnt, external = groups.fused_counts_hashed(
+        dup, missing, near, external = groups.fused_counts_hashed(
             own_hashed,
             captions_ds.select_columns(["image_id"])
             if captions_ds is not None and opts.check_referential else None,
             narrow_ds,
             min_count=2,
             catalog_keys=catalog_ds.select_columns(["image_id"])
-            if catalog_ds is not None and opts.check_referential else None)
+            if catalog_ds is not None and opts.check_referential else None,
+            neardup_min=opts.neardup_min,
+            exemplar_k=3 if opts.check_neardup else None)
         if not opts.check_unique:
             dup = empty_dup
-        _mark("fused cross-record count shuffle")
-        if opts.check_neardup:
-            near_cnt = near_cnt[near_cnt["cnt"] >= opts.neardup_min]
-            near = groups.collect_exemplars(
-                narrow_ds, "phash", "image_id", near_cnt, k=3)
-        else:
+        if not opts.check_neardup:
             near = empty_near
-        _mark("neardup exemplars")
+        _mark("fused cross-record count shuffle")
+        _mark("neardup exemplars")  # fused into the recovery scan above
     else:
         dup, missing, near = empty_dup, empty_missing, empty_near
         external = empty_missing.copy()
