@@ -254,3 +254,83 @@ def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
            .groupby("query_id").head(k).reset_index(drop=True))
     out["score"] = out["score"].round(6)
     return out
+
+
+def nn_join_cosine(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                   round_to: int = 4) -> pd.DataFrame:
+    """Exact cosine 1-NN SELF-JOIN: for every row, its nearest OTHER row
+    (argmax cosine over the whole corpus, ties → smallest neighbor id) →
+    DataFrame(id_col, nn_id, score) sorted by id.
+
+    Distributed block cross-product (the ``dedup.embedding_near_dups_exact``
+    shape): the corpus normalizes ONCE into materialized object-store
+    blocks; each Ray task owns one left block and streams the block list
+    one ref at a time (``ray.get`` inside the task — per-task memory is two
+    blocks), keeping a running per-row best. Exactly n_left result rows
+    leave each task, so there is no reduce shuffle and the corpus never
+    materializes on the driver. O(B²) score work is inherent to EXACT 1-NN;
+    :func:`lsh_topk_cosine` / :func:`ivf_topk_cosine` are the approximate
+    scale paths."""
+    import ray
+
+    def pack(t: pa.Table) -> pa.Table:
+        e = _normalize(_batch_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if e.shape[0] == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "emb": pa.array([], type=pa.list_(pa.float64()))})
+        emb_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(e.ravel(), type=pa.float64()), e.shape[1]) \
+            .cast(pa.list_(pa.float64()))
+        return pa.table({id_col: pa.array(ids), "emb": emb_arr})
+
+    def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        emb = t.column("emb").combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        return (t.column(id_col).to_numpy(zero_copy_only=False),
+                flat.reshape(t.num_rows, -1))
+
+    mat = (ds.select_columns([id_col, emb_col])
+           .map_batches(pack, batch_format="pyarrow").materialize())
+    refs = [blk for bundle in mat.iter_internal_ref_bundles()
+            for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+    empty = pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                          "nn_id": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if not refs:
+        return empty
+
+    @ray.remote
+    def best_for_block(ta: pa.Table, other_refs: list) -> pd.DataFrame:
+        import ray as _ray
+        ids_a, ma = _unpack(ta)
+        n = len(ids_a)
+        best = np.full(n, -np.inf)
+        best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for rb in other_refs:
+            ids_b, mb = _unpack(_ray.get(rb))
+            s = ma @ mb.T
+            s[ids_a[:, None] == ids_b[None, :]] = -np.inf   # exclude self
+            # sort columns by id so argmax's first-occurrence rule breaks
+            # exact-score ties toward the smallest neighbor id
+            order = np.argsort(ids_b, kind="mergesort")
+            s = s[:, order]
+            idso = ids_b[order]
+            j = np.argmax(s, axis=1)
+            sc = s[np.arange(n), j]
+            cand = idso[j]
+            better = (sc > best) | ((sc == best) & (cand < best_id))
+            best = np.where(better, sc, best)
+            best_id = np.where(better, cand, best_id)
+        return pd.DataFrame({id_col: ids_a, "nn_id": best_id,
+                             "score": np.round(best, round_to)})
+
+    # nested-in-list refs are NOT auto-resolved by Ray — exactly what we
+    # want: the task fetches them one at a time, bounding its memory
+    parts = ray.get([best_for_block.remote(r, refs) for r in refs])
+    out = pd.concat(parts, ignore_index=True)
+    # a single-row corpus has no "other" row: drop unmatched (-inf) rows
+    out = out[np.isfinite(out["score"].to_numpy())]
+    if not len(out):
+        return empty
+    return out.sort_values(id_col).reset_index(drop=True)

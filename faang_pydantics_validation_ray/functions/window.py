@@ -163,6 +163,146 @@ def lag_by_key(ds, key: str, order: list[str], value: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def lead_by_key(ds, key: str, order: list[str], value: str,
+                out: str = "next_value"):
+    """→ Dataset(key, *order, value, out): SQL ``lead(value) OVER
+    (PARTITION BY key ORDER BY order)`` — next row's value within the key,
+    null for each key's last row. Mirror of :func:`lag_by_key`: one
+    boundary row per block visits the driver (the block's FIRST row),
+    shipped to the PREVIOUS block's task."""
+    import ray
+    import ray.data as rd
+
+    from ..runtime import ensure_shipped
+    ensure_shipped()
+
+    cols = [key] + [c for c in order if c != key] + (
+        [value] if value not in order and value != key else [])
+    sorted_ds = ds.select_columns(cols).sort([key] + order).materialize()
+    refs = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
+            for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def head_row(blk):
+        t = _as_table(blk)
+        return (t.column(key)[0].as_py(), t.column(value)[0].as_py())
+
+    heads = ray.get([head_row.remote(r) for r in refs])
+
+    @ray.remote
+    def apply(blk, next_key, next_val):
+        import pyarrow.compute as pc
+        t = _as_table(blk)
+        n = t.num_rows
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        typ = t.schema.field(value).type
+        shifted = pa.concat_arrays(
+            [t.column(value).combine_chunks().slice(1, n - 1),
+             pa.array([next_val], type=typ)])
+        # null out each key-segment's last row (lead resets per key)
+        seg_last = np.empty(n, dtype=bool)
+        seg_last[-1] = k[-1] != next_key
+        seg_last[:-1] = k[:-1] != k[1:]
+        led = pc.if_else(pa.array(seg_last), pa.nulls(n, type=typ), shifted)
+        return t.append_column(out, led)
+
+    out_refs = [apply.remote(r,
+                             heads[i + 1][0] if i + 1 < len(refs) else None,
+                             heads[i + 1][1] if i + 1 < len(refs) else None)
+                for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def rolling_mean_by_key(ds, key: str, order: list[str], value: str,
+                        window: int = 4, out: str = "mov_avg"):
+    """→ Dataset(key, *order, value, out): SQL ``AVG(value) OVER (PARTITION
+    BY key ORDER BY order ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` — the moving average over the last ``window`` rows of the key.
+
+    Same ONE-range-shuffle design as :func:`cumulative_by_key`; the boundary
+    pass ships at most ``window - 1`` tail VALUES of each block's last key
+    segment (never rows), and the driver threads a single
+    (key, tail_values) carry so a key segment spanning many blocks stays
+    exact. Within a block the frame sums come from one segment-relative
+    cumsum difference — no per-row or per-group Python."""
+    import ray
+    import ray.data as rd
+
+    from ..runtime import ensure_shipped
+    ensure_shipped()
+
+    W = int(window)
+    if W < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    cols = [key] + [c for c in order if c != key] + (
+        [value] if value not in order and value != key else [])
+    sorted_ds = ds.select_columns(cols).sort([key] + order).materialize()
+    refs = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
+            for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def boundary(blk):
+        t = _as_table(blk)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        seg = k == k[-1]
+        tail = v[seg][-(W - 1):] if W > 1 else np.empty(0)
+        return (k[0], k[-1], int(seg.sum()), tail)
+
+    summaries = ray.get([boundary.remote(r) for r in refs])
+
+    # Thread the carry: the last ≤ W-1 values of the key that may continue
+    # into the next block. A short whole-block segment extends the previous
+    # carry; a segment with ≥ W-1 own rows replaces it.
+    offsets: list[np.ndarray] = []
+    carry_key, carry = None, np.empty(0)
+    for first_k, last_k, seg_len, tail in summaries:
+        off = carry if carry_key == first_k else np.empty(0)
+        offsets.append(off)
+        if first_k == last_k and len(off) and seg_len < W - 1:
+            carry = np.concatenate([off, tail])[-(W - 1):]
+        else:
+            carry = tail
+        carry_key = last_k
+
+    @ray.remote
+    def apply(blk, off_vals: np.ndarray):
+        t = _as_table(blk)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        pre = len(off_vals)
+        if pre:
+            # prepend the carried tail as context rows of the first segment;
+            # they are dropped from the output slice below
+            kk = np.concatenate([np.repeat(k[:1], pre), k])
+            vv = np.concatenate([np.asarray(off_vals, dtype=np.float64), v])
+        else:
+            kk, vv = k, v
+        n = len(kk)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = kk[1:] != kk[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        start_idx = np.flatnonzero(new_seg)
+        csum = np.cumsum(vv)
+        base = np.where(start_idx > 0, csum[start_idx - 1], 0.0)
+        segrel = csum - base[seg_id]            # inclusive per-segment cumsum
+        pos = np.arange(n, dtype=np.int64) - start_idx[seg_id]
+        win_sum = segrel.copy()
+        far = np.flatnonzero(pos >= W)          # frame no longer reaches row 0
+        win_sum[far] -= segrel[far - W]
+        cnt = np.minimum(pos + 1, W).astype(np.float64)
+        avg = (win_sum / cnt)[pre:]
+        return t.append_column(out, pa.array(avg, type=pa.float64()))
+
+    out_refs = [apply.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def rank_by_key(ds, key: str, value: str,
                 out_rank: str = "rnk", out_dense: str = "drnk"):
     """→ Dataset(key, ..., value, out_rank, out_dense): SQL ``rank()`` and

@@ -1970,6 +1970,112 @@ FROM orders ORDER BY o_orderstatus, o_orderkey
 """
 
 
+def q_window_lead_events(sf_dir: str) -> pd.DataFrame:
+    """SQL lead() window: next event value per user ordered by
+    (ts, event_id), null at each user's last event — mirror of the
+    boundary-carry lag (functions/window.lead_by_key): one range-shuffle
+    sort, one head row per block to the driver."""
+    from ..functions import window
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    out = window.lead_by_key(
+        ds, key="user_id", order=["ts", "event_id"], value="value",
+        out="next_value").to_pandas()
+    out["value"] = out["value"].round(4)
+    out["next_value"] = out["next_value"].round(4)
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
+
+
+SQL_WINDOW_LEAD_EVENTS = """
+SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
+       ROUND(lead(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 4) AS next_value
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+def q_moving_avg_events(sf_dir: str) -> pd.DataFrame:
+    """SQL moving average (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) per
+    user — functions/window.rolling_mean_by_key: ONE range-shuffle sort,
+    ≤ window-1 tail VALUES per block to the driver (never rows), frame sums
+    via one segment-relative cumsum difference per block."""
+    from ..functions import window
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    out = window.rolling_mean_by_key(
+        ds, key="user_id", order=["ts", "event_id"], value="value",
+        window=4, out="mov_avg").to_pandas()
+    out["value"] = out["value"].round(4)
+    out["mov_avg"] = out["mov_avg"].round(4)
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
+
+
+SQL_MOVING_AVG_EVENTS = """
+SELECT user_id, event_id, ts, ROUND(value, 4) AS value,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+def q_left_join_customer_orders(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER hash join (J-family breadth): every customer row kept,
+    order columns null-filled where no orders exist — Ray's native
+    ``Dataset.join(join_type="left_outer")`` hash exchange. Nulls are
+    COALESCEd to sentinels on BOTH sides so the value-hash compare is
+    dtype-stable (nullable int64 → pandas float drift otherwise)."""
+    from ..runtime import shuffle_partitions
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    joined = cust.join(orders, join_type="left_outer",
+                       num_partitions=shuffle_partitions(),
+                       on=("c_custkey",), right_on=("o_custkey",))
+    out = joined.to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].fillna(0.0).round(2)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out = out[["c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"]]
+    return (out.sort_values(["c_custkey", "o_orderkey"])
+            .reset_index(drop=True))
+
+
+SQL_LEFT_JOIN_CUSTOMER_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+       CAST(COALESCE(o_orderkey, -1) AS BIGINT) AS o_orderkey,
+       ROUND(COALESCE(o_totalprice, 0), 2) AS o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+def q_nn_join_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine 1-NN self-join over the embedding corpus: each vector's
+    nearest OTHER vector (ties → smallest id) — the similarity-search join
+    primitive (near-dup survey, retrieval eval). Distributed block
+    cross-product in functions/ann.nn_join_cosine: per-task memory is two
+    normalized blocks, n result rows per task, no driver materialization."""
+    out = ann.nn_join_cosine(_read(sf_dir, "embeddings"))
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["nn_id"] = out["nn_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_NN_JOIN_EMBEDDINGS = """
+WITH s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS raw
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nn_id, raw,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY raw DESC, nn_id) AS rn FROM s)
+SELECT vec_id, nn_id, ROUND(raw, 4) AS score FROM r WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
     """A3 distinct-set collection via Dataset.unique."""
     vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
@@ -3050,6 +3156,11 @@ QUERIES = {
     "export_documents_docs": q_export_documents_docs,
     "export_customer_docs": q_export_customer_docs,
     "export_events_docs": q_export_events_docs,
+    # --- new this round (window/join/similarity breadth) ---
+    "window_lead_events": q_window_lead_events,
+    "moving_avg_events": q_moving_avg_events,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "nn_join_embeddings": q_nn_join_embeddings,
     # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
     "img_summary": q_img_summary,
     # --- r3-green keepers filling the rest of the 50-slot window ---
@@ -3168,6 +3279,10 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "window_cumsum_orders": SQL_WINDOW_CUMSUM_ORDERS,
     "window_lag_events": SQL_WINDOW_LAG_EVENTS,
+    "window_lead_events": SQL_WINDOW_LEAD_EVENTS,
+    "moving_avg_events": SQL_MOVING_AVG_EVENTS,
+    "left_join_customer_orders": SQL_LEFT_JOIN_CUSTOMER_ORDERS,
+    "nn_join_embeddings": SQL_NN_JOIN_EMBEDDINGS,
     "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
     "window_prank_lineitem": SQL_WINDOW_PRANK_LINEITEM,
     "zscore_lineitem": SQL_ZSCORE_LINEITEM,

@@ -646,3 +646,43 @@ def test_substring_dup_windows_reference(ray_session, texts):
     out = dedup.substring_dup_windows(ds, n=n)
     got = dict(zip(out["doc_id"].tolist(), out["dup_windows"].tolist()))
     assert got == expect
+
+
+def test_nn_join_cosine_matches_bruteforce(ray_session):
+    """Exact 1-NN self-join vs a driver-side numpy brute force, including
+    exact-duplicate vectors (score ties must break toward the smallest id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from faang_pydantics_validation_ray.functions import ann
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 16
+    emb = rng.normal(size=(n, d))
+    emb[37] = emb[11]            # exact duplicate pair
+    emb[90] = emb[11]            # triple: ties at score 1.0
+    ids = np.arange(n, dtype=np.int64)
+    import pyarrow as pa
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(emb.astype("float32").tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5)
+    got = ann.nn_join_cosine(ds)
+
+    m = emb.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    want_nn, want_sc = [], []
+    for i in range(n):
+        best = s[i].max()
+        cands = np.flatnonzero(s[i] == best)
+        want_nn.append(int(cands.min()))
+        want_sc.append(round(float(best), 4))
+    assert got["vec_id"].tolist() == ids.tolist()
+    assert got["nn_id"].tolist() == want_nn
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               np.array(want_sc), atol=1e-9)
+    # the duplicate triple must pair with the smallest other member
+    by_id = dict(zip(got["vec_id"], got["nn_id"]))
+    assert by_id[11] == 37 and by_id[37] == 11 and by_id[90] == 11

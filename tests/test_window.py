@@ -87,3 +87,58 @@ def test_window_empty_input(ray_session):
                                       "v": pd.Series([], dtype="float64")}))
     out = window.cumulative_by_key(ds, key="k", order=["t"], value="v")
     assert out.count() == 0
+
+
+def test_lead_by_key_matches_pandas(ray_session):
+    df = _frame(seed=22, n=350, n_keys=6)
+    ds = rd.from_pandas(df).repartition(8)
+    got = (window.lead_by_key(ds, key="k", order=["t", "i"], value="v",
+                              out="nxt")
+           .to_pandas().sort_values(["k", "t", "i"]).reset_index(drop=True))
+    want = df.sort_values(["k", "t", "i"]).reset_index(drop=True)
+    want["nxt"] = want.groupby("k")["v"].shift(-1)
+    assert got["nxt"].isna().sum() == want["nxt"].isna().sum() == 6
+    pd.testing.assert_series_equal(got["nxt"], want["nxt"],
+                                   check_exact=False, rtol=1e-12)
+
+
+def test_rolling_mean_matches_pandas(ray_session):
+    df = _frame(seed=23, n=400, n_keys=5)
+    ds = rd.from_pandas(df).repartition(9)   # segments span blocks
+    got = (window.rolling_mean_by_key(ds, key="k", order=["t", "i"],
+                                      value="v", window=4, out="ma")
+           .to_pandas().sort_values(["k", "t", "i"]).reset_index(drop=True))
+    want = df.sort_values(["k", "t", "i"]).reset_index(drop=True)
+    want["ma"] = (want.groupby("k")["v"]
+                  .transform(lambda s: s.rolling(4, min_periods=1).mean()))
+    np.testing.assert_allclose(got["ma"].to_numpy(), want["ma"].to_numpy(),
+                               rtol=1e-9)
+
+
+def test_rolling_mean_hot_key_spans_blocks(ray_session):
+    """One key across EVERY block: the ≤ W-1 value carry must thread the
+    whole block chain (true positions ≫ the per-block context length)."""
+    n = 300
+    df = pd.DataFrame({"k": np.zeros(n, dtype=np.int64),
+                       "t": np.arange(n, dtype=np.int64),
+                       "i": np.arange(n, dtype=np.int64),
+                       "v": np.arange(n, dtype=np.float64)})
+    ds = rd.from_pandas(df).repartition(11)
+    got = (window.rolling_mean_by_key(ds, key="k", order=["t", "i"],
+                                      value="v", window=7, out="ma")
+           .to_pandas().sort_values("t").reset_index(drop=True))
+    want = pd.Series(np.arange(n, dtype=np.float64)).rolling(
+        7, min_periods=1).mean()
+    np.testing.assert_allclose(got["ma"].to_numpy(), want.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_rolling_mean_window_one_is_identity(ray_session):
+    df = _frame(seed=24, n=100, n_keys=3)
+    ds = rd.from_pandas(df).repartition(4)
+    got = (window.rolling_mean_by_key(ds, key="k", order=["t", "i"],
+                                      value="v", window=1, out="ma")
+           .to_pandas().sort_values(["k", "t", "i"]).reset_index(drop=True))
+    want = df.sort_values(["k", "t", "i"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["ma"].to_numpy(),
+                               want["v"].to_numpy(), rtol=1e-12)
