@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _merge(a, b):
@@ -78,3 +79,78 @@ def pearson(ds, x: str, y: str) -> pd.DataFrame:
         "covar_samp": pd.array([cxy / (n - 1) if n > 1 else np.nan],
                                dtype="float64"),
     })
+
+
+def ks_two_sample(ds, value: str, flag_fn, num_partitions: int | None = None
+                  ) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic, distributed:
+    ``D = max_x |F_a(x) − F_b(x)|`` over the empirical CDFs of two
+    sub-populations (``flag_fn(table) → BooleanArray`` marks population A).
+    The exact counterpart of the t-digest ``sketches.ks_stat`` used by the
+    drift checks (A6).
+
+    Plan: per-batch distinct-value (x, na, nb) partials → ONE groupby(x)
+    sum → ONE range sort on x — both distributed — then a boundary pass
+    ships TWO scalars per block (the block's (Σna, Σnb)) to the driver,
+    which threads prefix offsets; each block evaluates its local
+    ``max |cum_a/ta − cum_b/tb|`` and only per-block maxima return. The
+    value domain never materializes on the driver."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value).to_numpy(zero_copy_only=False)
+        is_a = np.asarray(flag_fn(t), dtype=bool)
+        ok = ~np.isnan(x) if x.dtype.kind == "f" else np.ones(len(x), bool)
+        x, is_a = x[ok], is_a[ok]
+        vals = np.unique(x)
+        idx = np.searchsorted(vals, x)
+        na = np.bincount(idx[is_a], minlength=len(vals))
+        nb = np.bincount(idx[~is_a], minlength=len(vals))
+        return pa.table({"x": pa.array(vals),
+                         "na": pa.array(na, type=pa.int64()),
+                         "nb": pa.array(nb, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("x")
+           .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+           .sort("x").materialize())
+    refs = [blk for bundle in agg.iter_internal_ref_bundles()
+            for blk, md in bundle.blocks if (md.num_rows or 0) > 0]
+    if not refs:
+        return pd.DataFrame({"ks": [0.0], "n_a": np.array([0], dtype="int64"),
+                             "n_b": np.array([0], dtype="int64")})
+
+    @ray.remote
+    def block_sums(blk):
+        t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        return (int(pc.sum(t.column("na")).as_py() or 0),
+                int(pc.sum(t.column("nb")).as_py() or 0))
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    ta = float(sum(s[0] for s in sums))
+    tb = float(sum(s[1] for s in sums))
+    if ta == 0 or tb == 0:
+        return pd.DataFrame({"ks": [0.0],
+                             "n_a": np.array([int(ta)], dtype="int64"),
+                             "n_b": np.array([int(tb)], dtype="int64")})
+    offs, ca, cb = [], 0, 0
+    for sa, sb in sums:
+        offs.append((ca, cb))
+        ca, cb = ca + sa, cb + sb
+
+    @ray.remote
+    def block_max(blk, off_a: int, off_b: int) -> float:
+        t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        fa = (np.cumsum(na) + off_a) / ta
+        fb = (np.cumsum(nb) + off_b) / tb
+        return float(np.abs(fa - fb).max())
+
+    d = max(ray.get([block_max.remote(r, oa, ob)
+                     for r, (oa, ob) in zip(refs, offs)]))
+    return pd.DataFrame({"ks": [round(d, 6)],
+                         "n_a": np.array([int(ta)], dtype="int64"),
+                         "n_b": np.array([int(tb)], dtype="int64")})

@@ -1213,6 +1213,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_psi_drift_lineitem(sf_dir: str) -> pd.DataFrame:
+    """EXACT Population Stability Index between two sub-populations (even vs
+    odd l_orderkey — the deterministic stand-in for "this partition vs the
+    reference profile") over fixed-width l_extendedprice buckets. The exact
+    counterpart of the t-digest `sketches.psi` used by the flagship drift
+    checks (A6): per-batch (bucket, n_even, n_odd) bincount partials → ONE
+    tiny groupby-sum — only aggregate rows cross the exchange — then the
+    driver evaluates Σ (p_b − p_a)·ln(p_b/p_a) over buckets populated on
+    BOTH sides (proportions over all rows of each population)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        x, k = x[ok], k[ok]
+        b = np.floor(x / 5000.0).astype(np.int64)
+        is_a = (k % 2) == 0
+        vals = np.unique(b)
+        idx = np.searchsorted(vals, b)
+        na = np.bincount(idx[is_a], minlength=len(vals))
+        nb = np.bincount(idx[~is_a], minlength=len(vals))
+        return pa.table({"bucket": pa.array(vals, type=pa.int64()),
+                         "na": pa.array(na, type=pa.int64()),
+                         "nb": pa.array(nb, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+           .to_pandas())
+    na = agg["na"].to_numpy(dtype=np.float64)
+    nb = agg["nb"].to_numpy(dtype=np.float64)
+    ta, tb = na.sum(), nb.sum()
+    both = (na > 0) & (nb > 0)
+    pa_, pb_ = na[both] / ta, nb[both] / tb
+    psi = float(np.sum((pb_ - pa_) * np.log(pb_ / pa_)))
+    return pd.DataFrame({"psi": [round(psi, 6)],
+                         "buckets_used": np.array([both.sum()], dtype="int64"),
+                         "n_even": np.array([int(ta)], dtype="int64"),
+                         "n_odd": np.array([int(tb)], dtype="int64")})
+
+
+SQL_PSI_DRIFT_LINEITEM = """
+WITH b AS (
+  SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+         l_orderkey % 2 = 0 AS is_a
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+c AS (SELECT bucket,
+             SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+      FROM b GROUP BY bucket),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c)
+SELECT ROUND(SUM((nb * 1.0 / tb - na * 1.0 / ta)
+                 * ln((nb * 1.0 / tb) / (na * 1.0 / ta))), 6) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(MAX(ta) AS BIGINT) AS n_even, CAST(MAX(tb) AS BIGINT) AS n_odd
+FROM c, t WHERE na > 0 AND nb > 0
+"""
+
+
+def q_ks_drift_lineitem(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift statistic (even vs odd
+    l_orderkey over l_extendedprice) — functions/stats.ks_two_sample: one
+    groupby(value) + one range sort, boundary pass ships two scalars per
+    block, per-block local maxima only. Exact counterpart of the t-digest
+    `sketches.ks_stat` (A6)."""
+    from ..functions.stats import ks_two_sample
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def flag(t: pa.Table) -> np.ndarray:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return (k % 2) == 0
+
+    return ks_two_sample(ds, "l_extendedprice", flag)
+
+
+SQL_KS_DRIFT_LINEITEM = """
+WITH v AS (
+  SELECT l_extendedprice AS x, l_orderkey % 2 = 0 AS is_a
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+c AS (SELECT x,
+             SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+      FROM v GROUP BY x),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c),
+e AS (SELECT SUM(na) OVER (ORDER BY x) * 1.0 / ta AS fa,
+             SUM(nb) OVER (ORDER BY x) * 1.0 / tb AS fb
+      FROM c, t)
+SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks,
+       (SELECT CAST(ta AS BIGINT) FROM t) AS n_a,
+       (SELECT CAST(tb AS BIGINT) FROM t) AS n_b
+FROM e
+"""
+
+
 def q_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
     """EXACT per-group p50/p95/p99 with no sort and no per-group
     materialization: iterative histogram refinement
@@ -3156,11 +3252,13 @@ QUERIES = {
     "export_documents_docs": q_export_documents_docs,
     "export_customer_docs": q_export_customer_docs,
     "export_events_docs": q_export_events_docs,
-    # --- new this round (window/join/similarity breadth) ---
+    # --- new this round (window/join/similarity/drift breadth) ---
     "window_lead_events": q_window_lead_events,
     "moving_avg_events": q_moving_avg_events,
     "left_join_customer_orders": q_left_join_customer_orders,
     "nn_join_embeddings": q_nn_join_embeddings,
+    "psi_drift_lineitem": q_psi_drift_lineitem,
+    "ks_drift_lineitem": q_ks_drift_lineitem,
     # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
     "img_summary": q_img_summary,
     # --- r3-green keepers filling the rest of the 50-slot window ---
@@ -3283,6 +3381,8 @@ ORACLES = {
     "moving_avg_events": SQL_MOVING_AVG_EVENTS,
     "left_join_customer_orders": SQL_LEFT_JOIN_CUSTOMER_ORDERS,
     "nn_join_embeddings": SQL_NN_JOIN_EMBEDDINGS,
+    "psi_drift_lineitem": SQL_PSI_DRIFT_LINEITEM,
+    "ks_drift_lineitem": SQL_KS_DRIFT_LINEITEM,
     "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
     "window_prank_lineitem": SQL_WINDOW_PRANK_LINEITEM,
     "zscore_lineitem": SQL_ZSCORE_LINEITEM,
