@@ -1412,6 +1412,92 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(status, priority): all FOUR grouping sets from ONE
+    finest-level shuffle. Unlike the rollup's level-tagged exchange (3×
+    traffic), only (status, priority) partials cross the wire; the coarser
+    sets re-aggregate from the finest result, which is aggregate-sized
+    (|status|·|priority| rows) — sums/counts are re-aggregable, so this is
+    exact and the cheapest cube at 10^12 rows."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    fine = (ds.groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("o_totalprice", alias_name="sum_price"))
+            .to_pandas())
+
+    def coarse(by: list[str]) -> pd.DataFrame:
+        if not by:
+            g = pd.DataFrame({"n": [fine["n"].sum()],
+                              "sum_price": [fine["sum_price"].sum()]})
+        else:
+            g = fine.groupby(by, as_index=False)[["n", "sum_price"]].sum()
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in g.columns:
+                g[c] = None
+        return g[["o_orderstatus", "o_orderpriority", "n", "sum_price"]]
+
+    out = pd.concat([
+        fine[["o_orderstatus", "o_orderpriority", "n", "sum_price"]],
+        coarse(["o_orderstatus"]), coarse(["o_orderpriority"]), coarse([]),
+    ], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_price"] = out["sum_price"].astype("float64").round(2)
+    return (out.sort_values(["o_orderstatus", "o_orderpriority"],
+                            na_position="first")
+            .reset_index(drop=True))
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def q_full_join_customer_events(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join: per-user event counts ⟗ customer — both null
+    sides exercised (customers with no events AND event user_ids missing
+    from customer, the referential-violation rows). The event side
+    pre-aggregates to one row per user BEFORE the join, so only
+    aggregate-sized rows meet the exchange."""
+    from ray.data.aggregate import Count
+    from ..runtime import shuffle_partitions
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ev = (_read(sf_dir, "events", columns=["user_id"])
+          .groupby("user_id").aggregate(Count(alias_name="n_events")))
+    joined = cust.join(ev, join_type="full_outer",
+                       num_partitions=shuffle_partitions(),
+                       on=("c_custkey",), right_on=("user_id",))
+    out = joined.to_pandas()
+    # Ray coalesces the join key into the left column name: unmatched right
+    # rows arrive with c_custkey already filled from user_id
+    out["key"] = out["c_custkey"].astype("int64")
+    # customer presence signal: a non-key left payload column (mktsegment is
+    # NOT NULL for every real customer row; mirrored in the SQL)
+    out["is_customer"] = out["c_mktsegment"].notna()
+    out["c_mktsegment"] = out["c_mktsegment"].fillna("none")
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    out = out[["key", "c_mktsegment", "n_events", "is_customer"]]
+    return out.sort_values("key").reset_index(drop=True)
+
+
+SQL_FULL_JOIN_CUSTOMER_EVENTS = """
+WITH ec AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id)
+SELECT CAST(COALESCE(c_custkey, user_id) AS BIGINT) AS key,
+       COALESCE(c_mktsegment, 'none') AS c_mktsegment,
+       COALESCE(n_events, 0) AS n_events,
+       c_mktsegment IS NOT NULL AS is_customer
+FROM customer FULL OUTER JOIN ec ON c_custkey = user_id
+ORDER BY key
+"""
+
+
 def q_pivot_orders(sf_dir: str) -> pd.DataFrame:
     """Pivot to wide: status rows × priority count columns. ONE narrow
     groupby of (status, priority) count partials; the driver reshapes the
@@ -3259,6 +3345,8 @@ QUERIES = {
     "nn_join_embeddings": q_nn_join_embeddings,
     "psi_drift_lineitem": q_psi_drift_lineitem,
     "ks_drift_lineitem": q_ks_drift_lineitem,
+    "cube_orders": q_cube_orders,
+    "full_join_customer_events": q_full_join_customer_events,
     # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
     "img_summary": q_img_summary,
     # --- r3-green keepers filling the rest of the 50-slot window ---
@@ -3383,6 +3471,8 @@ ORACLES = {
     "nn_join_embeddings": SQL_NN_JOIN_EMBEDDINGS,
     "psi_drift_lineitem": SQL_PSI_DRIFT_LINEITEM,
     "ks_drift_lineitem": SQL_KS_DRIFT_LINEITEM,
+    "cube_orders": SQL_CUBE_ORDERS,
+    "full_join_customer_events": SQL_FULL_JOIN_CUSTOMER_EVENTS,
     "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
     "window_prank_lineitem": SQL_WINDOW_PRANK_LINEITEM,
     "zscore_lineitem": SQL_ZSCORE_LINEITEM,

@@ -253,3 +253,23 @@ def test_collect_list_agg_overflow_fails_loudly(ray_session):
            .to_pandas())
     assert sorted(out.loc[out["k"] == "hot", "v_list"].iloc[0]) == \
         list(range(30))
+
+
+def test_full_outer_join_query_shape(ray_session):
+    """sf0.01 happens to have every event user in customer, so the oracle
+    can't exercise the unmatched-RIGHT side — this synthetic does: keys on
+    both sides missing from the other, Ray's key-coalescing behavior
+    (unmatched right rows arrive with the LEFT key column filled)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    L = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "seg": ["a", "b", "c"]}))
+    R = rd.from_pandas(pd.DataFrame({"rk": [2, 3, 4, 5],
+                                     "n": [20, 30, 40, 50]}))
+    out = (L.join(R, join_type="full_outer", num_partitions=4,
+                  on=("k",), right_on=("rk",))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4, 5]     # key coalesced
+    assert out["seg"].tolist() == ["a", "b", "c", None, None]
+    assert out["n"].fillna(-1).astype(int).tolist() == [-1, 20, 30, 40, 50]
