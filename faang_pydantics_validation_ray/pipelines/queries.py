@@ -1248,8 +1248,11 @@ def q_psi_drift_lineitem(sf_dir: str) -> pd.DataFrame:
     nb = agg["nb"].to_numpy(dtype=np.float64)
     ta, tb = na.sum(), nb.sum()
     both = (na > 0) & (nb > 0)
-    pa_, pb_ = na[both] / ta, nb[both] / tb
-    psi = float(np.sum((pb_ - pa_) * np.log(pb_ / pa_)))
+    if ta == 0 or tb == 0 or not both.any():
+        pa_ = pb_ = np.empty(0)
+    else:
+        pa_, pb_ = na[both] / ta, nb[both] / tb
+    psi = float(np.sum((pb_ - pa_) * np.log(pb_ / pa_))) if len(pa_) else 0.0
     return pd.DataFrame({"psi": [round(psi, 6)],
                          "buckets_used": np.array([both.sum()], dtype="int64"),
                          "n_even": np.array([int(ta)], dtype="int64"),
