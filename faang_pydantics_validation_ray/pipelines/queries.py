@@ -1033,6 +1033,25 @@ def q_minhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     return pairs
 
 
+# Same ground truth as SQL_MINHASH_NEARDUP_DOCUMENTS — but for the PPJoin
+# pipeline the equality is UNCONDITIONAL on similarity structure: prefix
+# filtering is exact (zero false negatives by construction), so neither the
+# LSH-recall caveat (b) nor the star_cap caveat (d) applies. Only caveat (a)
+# remains (ASCII corpus ⇒ SQL character shingles == utf8-byte shingles) plus
+# the quadratic-oracle cost note (c).
+SQL_NGRAM_JACCARD_DOCUMENTS = SQL_MINHASH_NEARDUP_DOCUMENTS
+
+
+def q_ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT char-5-gram Jaccard >= 0.6 self-join via AllPairs/PPJoin
+    prefix filtering — the exact member of the near-dup family (minhash =
+    approximate candidates + exact verify; this = exact candidates + exact
+    verify). One prefix-row scan, one hash(gram) exchange, length +
+    positional filters, exact vectorized verification."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ppjoin_near_dups(ds, threshold=0.6)
+
+
 def q_simhash_neardup_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.simhash_near_dups(ds, max_hamming=6)
@@ -3325,6 +3344,8 @@ QUERIES = {
     "zscore_lineitem": q_zscore_lineitem,
     "ntile_orders": q_ntile_orders,
     "minhash_neardup_documents": q_minhash_neardup_documents,
+    # --- new this round: exact PPJoin member of the near-dup family ---
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
     # --- last sampled r1/r2 ---
     "join_consistency": q_join_consistency,
     "compat_join": q_compat_join,
@@ -3439,6 +3460,7 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "substring_dedup_documents": SQL_SUBSTRING_DEDUP_DOCUMENTS,
     "minhash_neardup_documents": SQL_MINHASH_NEARDUP_DOCUMENTS,
+    "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
     "token_stats_documents": SQL_TOKEN_STATS_DOCUMENTS,
     "quality_documents": SQL_QUALITY_DOCUMENTS,
     "langid_documents": SQL_LANGID_DOCUMENTS,

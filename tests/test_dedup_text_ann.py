@@ -686,3 +686,83 @@ def test_nn_join_cosine_matches_bruteforce(ray_session):
     # the duplicate triple must pair with the smallest other member
     by_id = dict(zip(got["vec_id"], got["nn_id"]))
     assert by_id[11] == 37 and by_id[37] == 11 and by_id[90] == 11
+
+
+# ---------------------------------------------------- ppjoin exact n-gram
+
+
+def _brute_jaccard_pairs(ids, texts, threshold, k=5):
+    sets = {i: set(dedup._shingle_hashes(t.lower(), k).tolist())
+            for i, t in zip(ids, texts)}
+    out = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out.append((ids[x], ids[y], j))
+    return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def test_ppjoin_matches_brute_force(ray_session):
+    """Exact PPJoin self-join == all-pairs brute force, bit-for-bit —
+    including an identical cluster LARGER than minhash's star_cap (the
+    regime the LSH pipeline provably cannot report exactly)."""
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(300)], dtype=object)
+    base = " ".join(rng.choice(vocab, size=60))
+    texts = [base] * 70                                   # cluster > 64
+    texts += [base + f" tail{i}" for i in range(10)]      # near-dups
+    texts += [" ".join(rng.choice(vocab, size=60)) for _ in range(40)]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = dedup.ppjoin_near_dups(ds, threshold=0.6).reset_index(drop=True)
+    want = _brute_jaccard_pairs(ids.tolist(), texts, 0.6)
+    assert len(got) >= 70 * 69 // 2         # the full identical clique
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ppjoin_supersets_minhash(ray_session):
+    """PPJoin (exact) must return a superset of the minhash pipeline's
+    pairs at the same threshold (both end in the same exact verification,
+    LSH can only lose candidates); on this corpus they coincide."""
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"tok{i}" for i in range(400)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=50)) for _ in range(150)]
+    texts += ["zq " + texts[i] for i in range(12)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    exact = dedup.ppjoin_near_dups(ds, threshold=0.6)
+    lsh = dedup.minhash_near_dups_distributed(ds, threshold=0.6)
+    key = lambda df: set(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+    assert key(lsh) <= key(exact)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  lsh.reset_index(drop=True))
+
+
+def test_ppjoin_edges(ray_session):
+    """Empty corpus, all-unique corpus, docs shorter than k (whole-text
+    hash parity with _shingle_hashes), and string ids."""
+    import ray.data as rd
+    empty = dedup.ppjoin_near_dups(rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                      "text": pd.array([], dtype="string")})))
+    assert empty.empty
+    uniq = dedup.ppjoin_near_dups(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["alpha beta gamma", "delta epsilon zeta",
+                  "eta theta iota kappa"]})), threshold=0.6)
+    assert uniq.empty
+    texts = ["ab", "ab", "cd", "same longer text here", "same longer text here"]
+    ids = [f"d{i}" for i in range(5)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = dedup.ppjoin_near_dups(ds, threshold=0.9).reset_index(drop=True)
+    want = _brute_jaccard_pairs(ids, texts, 0.9)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) \
+        == {("d0", "d1"), ("d3", "d4")}
