@@ -1520,6 +1520,216 @@ ORDER BY key
 """
 
 
+def q_firstlast_orders(sf_dir: str) -> pd.DataFrame:
+    """§2.6 arg-min/arg-max per group (SQL first_value / last_value /
+    min_by): first and last order price per customer under the total order
+    (o_orderdate, o_orderkey). NO per-group sort shuffle: each batch emits
+    ONE candidate row per key holding its local lexicographic min and max
+    (vectorized — one batch sort + boundary take), the exchange carries
+    only those combinable partials, and a hash-partitioned reduce
+    re-applies the same min/max. Extrema are re-aggregable, so this is
+    exact at any block layout and the exchange is O(distinct keys)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                          "o_orderdate", "o_totalprice"])
+    from ..runtime import shuffle_partitions
+    P = shuffle_partitions()
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        f = df.drop_duplicates("o_custkey", keep="first")
+        l = df.drop_duplicates("o_custkey", keep="last")
+        n = df.groupby("o_custkey", sort=True).size()
+        out = pd.DataFrame({
+            "o_custkey": f["o_custkey"].to_numpy(),
+            "f_date": f["o_orderdate"].to_numpy(),
+            "f_key": f["o_orderkey"].to_numpy(),
+            "first_price": f["o_totalprice"].to_numpy(),
+            "l_date": l["o_orderdate"].to_numpy(),
+            "l_key": l["o_orderkey"].to_numpy(),
+            "last_price": l["o_totalprice"].to_numpy(),
+            "n": n.to_numpy()})
+        h = pd.util.hash_pandas_object(out["o_custkey"], index=False)
+        out["_p"] = (h % P).astype("int64")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        f = (g.sort_values(["o_custkey", "f_date", "f_key"])
+             .drop_duplicates("o_custkey", keep="first"))
+        l = (g.sort_values(["o_custkey", "l_date", "l_key"])
+             .drop_duplicates("o_custkey", keep="last"))
+        n = g.groupby("o_custkey", sort=True)["n"].sum()
+        return pd.DataFrame({
+            "o_custkey": f["o_custkey"].to_numpy(),
+            "n": n.to_numpy().astype("int64"),
+            "first_price": f["first_price"].to_numpy(),
+            "last_price": l["last_price"].to_numpy()})
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("_p").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_FIRSTLAST_ORDERS = """
+WITH r AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rf,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+  FROM orders)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CASE WHEN rf = 1 THEN o_totalprice END) AS first_price,
+       SUM(CASE WHEN rl = 1 THEN o_totalprice END) AS last_price
+FROM r GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def _key_flag_setop(sf_dir: str):
+    """Shared EXCEPT/INTERSECT plumbing: distinct order-customer keys vs
+    distinct event-user keys as ONE union of per-batch (key, in_orders,
+    in_events) flag partials — each batch contributes at most one row per
+    key per side, max() re-combines the flags, so the exchange is
+    O(distinct keys) and nothing rescans the fact tables per set op."""
+    from ..functions.groups import hash_partitioned_agg
+
+    def flags(col: str, a: int, b: int):
+        def part(t: pa.Table) -> pa.Table:
+            k = pc.unique(t.column(col).combine_chunks())
+            n = len(k)
+            return pa.table({"k": k.cast(pa.int64()),
+                             "in_orders": pa.array([a] * n, pa.int64()),
+                             "in_events": pa.array([b] * n, pa.int64())})
+        return part
+
+    u = (_read(sf_dir, "orders", columns=["o_custkey"])
+         .map_batches(flags("o_custkey", 1, 0), batch_format="pyarrow")
+         .union(_read(sf_dir, "events", columns=["user_id"])
+                .map_batches(flags("user_id", 0, 1),
+                             batch_format="pyarrow")))
+    return hash_partitioned_agg(u, "k", {"in_orders": ("in_orders", "max"),
+                                         "in_events": ("in_events", "max")})
+
+
+def q_except_custkeys(sf_dir: str) -> pd.DataFrame:
+    """Set EXCEPT: customer keys that placed orders but never appear in
+    the event stream (one flag exchange, see _key_flag_setop)."""
+    out = _key_flag_setop(sf_dir).to_pandas()
+    out = out[(out["in_orders"] > 0) & (out["in_events"] == 0)]
+    return (out[["k"]].astype({"k": "int64"})
+            .sort_values("k").reset_index(drop=True))
+
+
+SQL_EXCEPT_CUSTKEYS = """
+SELECT k FROM (SELECT o_custkey AS k FROM orders
+               EXCEPT SELECT user_id FROM events) ORDER BY k
+"""
+
+
+def q_intersect_custkeys(sf_dir: str) -> pd.DataFrame:
+    """Set INTERSECT: keys present in BOTH orders and events — same single
+    flag exchange as q_except_custkeys, different post-filter."""
+    out = _key_flag_setop(sf_dir).to_pandas()
+    out = out[(out["in_orders"] > 0) & (out["in_events"] > 0)]
+    return (out[["k"]].astype({"k": "int64"})
+            .sort_values("k").reset_index(drop=True))
+
+
+SQL_INTERSECT_CUSTKEYS = """
+SELECT k FROM (SELECT o_custkey AS k FROM orders
+               INTERSECT SELECT user_id FROM events) ORDER BY k
+"""
+
+
+def q_semi_join_customers(sf_dir: str) -> pd.DataFrame:
+    """SEMI join (EXISTS): customers with at least one order, reduced to
+    (count, sum acctbal). The order side collapses to distinct-key flag
+    partials per batch BEFORE the exchange (no payload, no row
+    multiplication — the join-then-distinct a naive plan would pay);
+    customer rows carry acctbal through the same single exchange."""
+    from ..functions.groups import hash_partitioned_agg
+
+    def order_flags(t: pa.Table) -> pa.Table:
+        k = pc.unique(t.column("o_custkey").combine_chunks())
+        return pa.table({"k": k.cast(pa.int64()),
+                         "has_order": pa.array([1] * len(k), pa.int64()),
+                         "acctbal": pa.nulls(len(k), pa.float64())})
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("c_custkey").cast(pa.int64()),
+                         "has_order": pa.array([0] * t.num_rows, pa.int64()),
+                         "acctbal": t.column("c_acctbal").cast(pa.float64())})
+
+    u = (_read(sf_dir, "orders", columns=["o_custkey"])
+         .map_batches(order_flags, batch_format="pyarrow")
+         .union(_read(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal"])
+                .map_batches(cust_rows, batch_format="pyarrow")))
+    per_key = hash_partitioned_agg(
+        u, "k", {"has_order": ("has_order", "max"),
+                 "acctbal": ("acctbal", "sum"),
+                 "is_cust": ("acctbal", "count")},
+        post=lambda g: g[(g["has_order"] > 0) & (g["is_cust"] > 0)])
+    hit = per_key.to_pandas()
+    return pd.DataFrame({
+        "n_customers": pd.array([len(hit)], dtype="int64"),
+        "sum_acctbal": [round(float(hit["acctbal"].sum()), 2)]})
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT/melt: three numeric measure columns into (measure, stats)
+    rows. Per-batch Arrow kernels reduce each column to ONE partial row
+    (sum/min/max/count) — the melt never materializes 3× the rows; the
+    driver combines #batches × 3 partials."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows = {"measure": [], "n": [], "sum_v": [], "min_v": [],
+                "max_v": []}
+        for c in cols:
+            col = t.column(c)
+            rows["measure"].append(c)
+            rows["n"].append(t.num_rows - col.null_count)
+            rows["sum_v"].append(pc.sum(col).as_py() or 0.0)
+            rows["min_v"].append(pc.min(col).as_py())
+            rows["max_v"].append(pc.max(col).as_py())
+        return pa.table({"measure": pa.array(rows["measure"]),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "sum_v": pa.array(rows["sum_v"], pa.float64()),
+                         "min_v": pa.array(rows["min_v"], pa.float64()),
+                         "max_v": pa.array(rows["max_v"], pa.float64())})
+
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = (p.groupby("measure", sort=True)
+           .agg(n=("n", "sum"), sum_v=("sum_v", "sum"),
+                min_v=("min_v", "min"), max_v=("max_v", "max"))
+           .reset_index())
+    out["sum_v"] = out["sum_v"].round(2)
+    return out
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT measure, CAST(COUNT(v) AS BIGINT) AS n, ROUND(SUM(v), 2) AS sum_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM (SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem)
+GROUP BY measure ORDER BY measure
+"""
+
+
 def q_pivot_orders(sf_dir: str) -> pd.DataFrame:
     """Pivot to wide: status rows × priority count columns. ONE narrow
     groupby of (status, priority) count partials; the driver reshapes the
@@ -3371,6 +3581,12 @@ QUERIES = {
     "ks_drift_lineitem": q_ks_drift_lineitem,
     "cube_orders": q_cube_orders,
     "full_join_customer_events": q_full_join_customer_events,
+    # --- new this round (set ops / semi-join / arg-extrema / unpivot) ---
+    "firstlast_orders": q_firstlast_orders,
+    "except_custkeys": q_except_custkeys,
+    "intersect_custkeys": q_intersect_custkeys,
+    "semi_join_customers": q_semi_join_customers,
+    "unpivot_lineitem": q_unpivot_lineitem,
     # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
     "img_summary": q_img_summary,
     # --- r3-green keepers filling the rest of the 50-slot window ---
@@ -3498,6 +3714,11 @@ ORACLES = {
     "ks_drift_lineitem": SQL_KS_DRIFT_LINEITEM,
     "cube_orders": SQL_CUBE_ORDERS,
     "full_join_customer_events": SQL_FULL_JOIN_CUSTOMER_EVENTS,
+    "firstlast_orders": SQL_FIRSTLAST_ORDERS,
+    "except_custkeys": SQL_EXCEPT_CUSTKEYS,
+    "intersect_custkeys": SQL_INTERSECT_CUSTKEYS,
+    "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     "window_rank_lineitem": SQL_WINDOW_RANK_LINEITEM,
     "window_prank_lineitem": SQL_WINDOW_PRANK_LINEITEM,
     "zscore_lineitem": SQL_ZSCORE_LINEITEM,
