@@ -53,6 +53,13 @@ class ValidationOptions:
     # of block boundaries. Exact counts always travel separately in
     # rule_count rows.
     exemplar_global_cap: int = 1000
+    # Past this many event-stream blocks, one MID-TREE top-k level (a
+    # hash(rule_id, severity) exchange of the per-block heads) runs before
+    # the driver head, so the driver union is cap × #(rule, severity)
+    # regardless of block count (VERDICT r4 #2: a 1000-block cluster-scale
+    # event stream would otherwise ship #blocks × cap rows per rule).
+    # Below it the extra exchange isn't worth its fixed cost.
+    exemplar_midtree_min_blocks: int = 64
     psnr_min: float = 40.0
     decode: bool = True
     seed: int = 42
@@ -316,7 +323,37 @@ def validate_images(images_ds, captions_ds=None, narrow_ds=None,
         return _concat_nonempty(
             [keep, pd.DataFrame(out, columns=_AGG_COLS)])
 
-    agg = events.map_batches(_agg_pass, batch_format="pandas").to_pandas()
+    agg_src = events.map_batches(_agg_pass, batch_format="pandas")
+    if events.num_blocks() >= opts.exemplar_midtree_min_blocks:
+        # mid-tree top-k level: per-block violation heads are exchanged on
+        # hash(rule_id, severity) and re-headed per partition (every row of
+        # a (rule, severity) group co-locates, so the partition head IS the
+        # exact global head); the driver then unions cap × #(rule,
+        # severity) rows, independent of event-stream block count. The
+        # tiny non-violation partials skip the exchange.
+        from ..runtime import shuffle_partitions
+        P = shuffle_partitions()
+        agg_src = agg_src.materialize()
+        non_viol = agg_src.map_batches(
+            lambda g: g[g["kind"] != "violation"], batch_format="pandas")
+
+        def _route_viol(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["kind"] == "violation"]
+            h = pd.util.hash_pandas_object(
+                g["rule_id"].astype(str) + "\x00" + g["severity"].astype(str),
+                index=False).to_numpy()
+            return g.assign(_p=(h % P).astype(np.int64))
+
+        viol_mid = (agg_src.map_batches(_route_viol, batch_format="pandas")
+                    .groupby("_p")
+                    .map_groups(lambda g: _head_exemplars(
+                        g.drop(columns=["_p"])), batch_format="pandas"))
+        vm = viol_mid.to_pandas()
+        if vm.empty:
+            vm = pd.DataFrame(columns=_AGG_COLS)
+        agg = _concat_nonempty([non_viol.to_pandas(), vm[_AGG_COLS]])
+    else:
+        agg = agg_src.to_pandas()
 
     # ---- assemble violations (extracted from the single scan above);
     # final level of the distributed exemplar top-k — driver-resident rows

@@ -148,6 +148,20 @@ def test_violation_explosion_bounded(ray_session):
     # independent): a second run yields the byte-identical exemplar set
     res2 = validate_images(rd.from_arrow(t), opts=opts)
     assert res.violations.equals(res2.violations)
+    # mid-tree level (VERDICT r4 #2): forcing the hash(rule_id, severity)
+    # exchange between block heads and the driver head (the cluster-scale
+    # regime where the event stream has hundreds of blocks) must keep the
+    # exemplar set byte-identical AND the per-(rule, severity) bound —
+    # driver-resident rows are then cap × #(rule, severity) regardless of
+    # event-stream block count
+    opts3 = ValidationOptions(
+        batch_size=500, concurrency=2, exemplar_cap=cap,
+        exemplar_global_cap=gcap, exemplar_midtree_min_blocks=1,
+        check_neardup=False, check_unique=False, check_referential=False)
+    res3 = validate_images(rd.from_arrow(t), opts=opts3)
+    assert res.violations.equals(res3.violations)
+    v3 = res3.violations.to_pandas()
+    assert (v3.groupby(["rule_id", "severity"]).size() <= gcap).all()
 
 
 def test_unified_multi_type_rollup(ray_session):
