@@ -21,12 +21,32 @@ decode + sketches + shuffle rules) over a cached synthetic table of
 from __future__ import annotations
 
 import json
+import logging
 import os
 import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+class _EmptySchemaFilter(logging.Filter):
+    """Drop ONLY Ray Data's benign empty-block schema-mismatch warning
+    ("Operator produced a RefBundle with a different schema ... new
+    schema: .") — emitted when an empty sort-aggregate partition yields a
+    columnless block alongside typed ones (the UDF never sees empty
+    blocks, so it cannot type them). Everything else still logs, so real
+    Ray warnings stay visible in bench output (VERDICT r4 #4)."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        m = record.getMessage()
+        return not ("RefBundle with a different schema" in m
+                    and ("new schema: ." in m or "Previous schema: ," in m))
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaFilter())
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -35,6 +35,76 @@ def _session(args):
     return ray
 
 
+def _serve(args) -> int:
+    """Stdlib-http analog of the reference service (app.py:16-138): a
+    module-level-singleton-style setup — rulesets compiled ONCE before the
+    first request (the reference's warm caches) — then POST /validate maps
+    a JSON submission body to ``validate_many`` with the same
+    400-on-malformed-JSON contract the ``validate-submission
+    --strict-json`` CLI reproduces. Single-threaded by design: the heavy
+    lifting is Ray-parallel per request; a batch engine fronted by a toy
+    server needs no request concurrency."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from .pipelines.queries import (
+        ruleset_customer, ruleset_events, ruleset_lineitem, ruleset_orders,
+    )
+    from .pipelines.unified import validate_many
+    from .sources.readers import submission_datasets
+
+    rulesets = {t: f()[0] for t, f in
+                {"orders": ruleset_orders, "lineitem": ruleset_lineitem,
+                 "customer": ruleset_customer,
+                 "events": ruleset_events}.items()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):             # noqa: N802 (stdlib handler name)
+            if self.path != "/validate":
+                self._send(404, {"status": 404, "error": "not found",
+                                 "detail": "POST /validate"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                doc = json.loads(self.rfile.read(n))
+                dss = submission_datasets(doc)
+            except (json.JSONDecodeError, ValueError) as e:
+                # reference app.py:101-138: malformed body is a CLIENT error
+                self._send(400, {"status": 400,
+                                 "error": "malformed submission JSON",
+                                 "detail": str(e)})
+                return
+            unknown = sorted(set(dss) - set(rulesets))
+            if unknown:
+                self._send(400, {"status": 400,
+                                 "error": f"no ruleset for record types "
+                                          f"{unknown}",
+                                 "detail": f"known: {sorted(rulesets)}"})
+                return
+            out = validate_many({t: (dss[t], rulesets[t]) for t in dss})
+            self._send(200, json.loads(out.to_json(orient="records")))
+
+        def log_message(self, *a):     # keep stdout to the one status line
+            pass
+
+    httpd = HTTPServer((args.host, args.port), Handler)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}/validate",
+                      "record_types": sorted(rulesets)}), flush=True)
+    if args.max_requests:
+        for _ in range(args.max_requests):
+            httpd.handle_request()
+    else:                              # pragma: no cover — interactive mode
+        httpd.serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--local", action="store_true", default=True)
@@ -69,6 +139,18 @@ def main(argv=None) -> int:
                    help="malformed/mis-shaped JSON → one structured error "
                         "line (the reference service's HTTP-400 body, "
                         "app.py:101-138) and exit code 2, never a traceback")
+
+    srv = sub.add_parser(
+        "serve",
+        help="minimal HTTP service analog of the reference's FastAPI app "
+             "(POST /validate, app.py:101-138): JSON submission body → "
+             "per-type + total summary; malformed body → 400 JSON",
+        parents=[common])
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8337)
+    srv.add_argument("--max-requests", type=int, default=None,
+                     help="serve N requests then exit (tests); default "
+                          "serve forever")
 
     args = p.parse_args(argv)
     ray = _session(args)
@@ -133,6 +215,8 @@ def main(argv=None) -> int:
             print(out.to_json(orient="records"))
             if args.out:
                 out.to_json(args.out, orient="records")
+        elif args.cmd == "serve":
+            return _serve(args)
         return 0
     finally:
         ray.shutdown()

@@ -172,13 +172,16 @@ def export_clean_rows(ds, ruleset, key_column: str, characteristics: dict,
 
 def export_clean_images(images_ds, bad_keys: list[str] | None = None,
                         out_dir: str | None = None, concurrency=None,
-                        batch_size: int = 512, captions_ds=None, vocab=None):
+                        batch_size: int = 512, captions_ds=None, vocab=None,
+                        decode: bool = True):
     """→ Dataset of export docs for valid rows; writes partitioned parquet
     when ``out_dir`` is given (streamed, never materialized).
 
     With ``captions_ds``, each doc additionally carries ``relationships[]``
     (described_by links to its caption records) — the full BioSamples-format
-    graft: characteristics{} + payload + relationships[]."""
+    graft: characteristics{} + payload + relationships[].
+    ``decode=False`` restricts validity to the scalar ruleset (the
+    SQL-expressible subset — used by the img_export_clean_scalar oracle)."""
     import ray
 
     from ..runtime import shuffle_partitions
@@ -194,7 +197,8 @@ def export_clean_images(images_ds, bad_keys: list[str] | None = None,
     ref = ray.put(bad_keys or [])
     ds = images_ds.map_batches(
         ExportCleanBatch, fn_constructor_kwargs=dict(bad_keys_ref=ref,
-                                                     vocab=vocab),
+                                                     vocab=vocab,
+                                                     decode=decode),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
     if captions_ds is not None:

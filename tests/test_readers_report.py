@@ -201,3 +201,59 @@ def test_cli_strict_json_maps_malformed_to_400(tmp_path):
     r3 = run('{"orders": [{"o_orderkey": 1', )
     assert r3.returncode not in (0, 2) and "Traceback" in r3.stderr
     assert r3.stdout.strip() == ""
+
+
+def test_cli_serve_http_contract(tmp_path):
+    """cli.py serve — the reference FastAPI analog (app.py:101-138): a
+    malformed POST body returns HTTP 400 with a structured JSON error, a
+    valid submission returns 200 with the per-type + total summary rows.
+    One subprocess serving exactly two requests, driven over localhost."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.error
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "faang_pydantics_validation_ray.cli",
+         "serve", "--port", str(port), "--max-requests", "2",
+         "--num-cpus", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo")
+    try:
+        line = proc.stdout.readline()
+        assert json.loads(line)["serving"].endswith("/validate"), line
+
+        def post(body: bytes):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/validate", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, err = post(b'{"orders": [{"o_orderkey": 1')
+        assert code == 400 and "malformed" in err["error"]
+
+        sub = {"orders": [
+            {"o_orderkey": 1, "o_orderstatus": "O", "o_totalprice": 10.0,
+             "o_orderpriority": "1-URGENT", "o_custkey": 7},
+            {"o_orderkey": 2, "o_orderstatus": "BAD", "o_totalprice": 10.0,
+             "o_orderpriority": "1-URGENT", "o_custkey": 7}]}
+        code2, rows = post(json.dumps(sub).encode())
+        assert code2 == 200
+        by_type = {r["record_type"]: r for r in rows}
+        assert by_type["orders"]["total"] == 2
+        assert by_type["orders"]["invalid"] == 1      # enum.o_orderstatus
+        assert by_type["total"]["total"] == 2
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
