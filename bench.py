@@ -40,8 +40,12 @@ class _EmptySchemaFilter(logging.Filter):
 
     def filter(self, record: logging.LogRecord) -> bool:
         m = record.getMessage()
-        return not ("RefBundle with a different schema" in m
-                    and ("new schema: ." in m or "Previous schema: ," in m))
+        if "RefBundle with a different schema" not in m:
+            return True
+        empties = ("new schema: .", "Previous schema: ,",
+                   # empty pandas-block flavor of the same benign case
+                   "PandasBlockSchema(names=[], types=[])")
+        return not any(e in m for e in empties)
 
 
 logging.getLogger(
