@@ -2767,6 +2767,47 @@ ORDER BY vec_id
 """
 
 
+def q_export_nation_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #9: nation through the PACKAGED
+    rulesets/nation.json (pattern + range + required, all error-severity)."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "nation"), "nation", "n_nationkey",
+        {"name": "n_name", "regionkey": "n_regionkey"}, concurrency=2)
+    return _flatten_characteristics(docs, "n_nationkey",
+                                    ["name", "regionkey"])
+
+
+SQL_EXPORT_NATION_DOCS = """
+SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
+FROM nation
+WHERE n_name IS NOT NULL AND regexp_matches(n_name, '^NATION_[0-9]+$')
+  AND (n_regionkey IS NULL OR n_regionkey BETWEEN 0 AND 4)
+ORDER BY n_nationkey
+"""
+
+
+def q_export_region_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-type export projection #10 — completing the reference's ~10
+    type-specific validators: region through the PACKAGED
+    rulesets/region.json (closed-enum r_name, the Literal[...] analog)."""
+    from .export import export_clean_rows
+    docs = export_clean_rows(
+        _read(sf_dir, "region"), "region", "r_regionkey",
+        {"name": "r_name"}, concurrency=2)
+    return _flatten_characteristics(docs, "r_regionkey", ["name"])
+
+
+SQL_EXPORT_REGION_DOCS = """
+SELECT r_regionkey, r_name AS name
+FROM region
+WHERE (r_name IS NULL
+       OR r_name IN ('AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST'))
+  AND (r_regionkey IS NULL OR r_regionkey BETWEEN 0 AND 4)
+ORDER BY r_regionkey
+"""
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Exact embedding-cosine near-dup pairs via the distributed block
     cross-product (per-task memory = two normalized blocks; no full-corpus
@@ -3763,6 +3804,8 @@ QUERIES = {
     "export_supplier_docs": q_export_supplier_docs,
     "export_part_docs": q_export_part_docs,
     "export_embeddings_docs": q_export_embeddings_docs,
+    "export_nation_docs": q_export_nation_docs,
+    "export_region_docs": q_export_region_docs,
     # --- r1-r3-green, not sampled in r4 (returners) ---
     "unified_summary": q_unified_summary,
     "q1_pricing": q1_pricing,
@@ -3808,9 +3851,9 @@ QUERIES = {
     # --- r4-green fillers to round out the 50-slot window ---
     "export_valid_orders": q_export_valid_orders,
     "semdedup_embeddings": q_semdedup_embeddings,
+    # --- past the 50-slot window: all r4-green, history retained ---
     "embedding_neardup": q_embedding_neardup,
     "curate_documents": q_curate_documents,
-    # --- past the 50-slot window: all r4-green, history retained ---
     "window_lag_events": q_window_lag_events,
     "window_rank_lineitem": q_window_rank_lineitem,
     "window_prank_lineitem": q_window_prank_lineitem,
@@ -3948,6 +3991,8 @@ ORACLES = {
     "export_supplier_docs": SQL_EXPORT_SUPPLIER_DOCS,
     "export_part_docs": SQL_EXPORT_PART_DOCS,
     "export_embeddings_docs": SQL_EXPORT_EMBEDDINGS_DOCS,
+    "export_nation_docs": SQL_EXPORT_NATION_DOCS,
+    "export_region_docs": SQL_EXPORT_REGION_DOCS,
     "neardup_clusters_documents": SQL_NEARDUP_CLUSTERS_DOCUMENTS,
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -151,7 +151,7 @@ def packaged_ruleset_path(name: str) -> str:
 def load_packaged_ruleset(name: str, context: dict | None = None) -> RuleSet:
     """Build a RuleSet from a shipped declarative ruleset file
     (``rulesets/<name>.json``): image, orders, lineitem, customer, events,
-    supplier, part, embeddings.
+    supplier, part, embeddings, nation, region.
     ``context`` supplies runtime ``$placeholder`` data (e.g.
     ``{"vocab": [...]}`` for the image vocab rules)."""
     return ruleset_from_json(packaged_ruleset_path(name), context)
